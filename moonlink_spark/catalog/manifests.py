@@ -1,0 +1,76 @@
+"""Chunked manifest files with per-file column stats.
+
+Re-creates moonlink's manifest-rewrite behaviour (reference:
+table/iceberg/data_file_manifest_manager.rs:15,54-100 — drop removed files,
+attach DV entries, roll over at 25 000 entries per manifest) as plain JSON
+manifest chunks. Each chunk is a list of entries; data and delete files live
+in separate manifest lists on the Snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict
+
+from moonlink_spark.catalog.metadata import (
+    MANIFEST_MAX_ENTRIES,
+    DataFile,
+    DeleteFile,
+)
+
+
+def _chunks(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i : i + n]
+
+
+def write_data_manifests(
+    metadata_dir: str,
+    files: list[DataFile],
+    max_entries: int = MANIFEST_MAX_ENTRIES,
+) -> list[str]:
+    """Write data-file manifests, rolled over at *max_entries*; return the
+    relative manifest paths."""
+    return _write(metadata_dir, "manifest", [asdict(f) for f in files], max_entries)
+
+
+def write_delete_manifests(
+    metadata_dir: str,
+    files: list[DeleteFile],
+    max_entries: int = MANIFEST_MAX_ENTRIES,
+) -> list[str]:
+    return _write(metadata_dir, "delete-manifest", [asdict(f) for f in files], max_entries)
+
+
+def _write(metadata_dir: str, prefix: str, entries: list[dict], max_entries: int) -> list[str]:
+    if not entries:
+        return []
+    mid = uuid.uuid4().hex[:12]
+    out: list[str] = []
+    for i, chunk in enumerate(_chunks(entries, max_entries)):
+        name = f"{prefix}-{mid}-{i:04d}.json"
+        path = os.path.join(metadata_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(chunk, f)
+        os.rename(tmp, path)
+        out.append(name)
+    return out
+
+
+def read_data_manifests(metadata_dir: str, manifest_names: list[str]) -> list[DataFile]:
+    files: list[DataFile] = []
+    for name in manifest_names:
+        with open(os.path.join(metadata_dir, name)) as f:
+            files.extend(DataFile(**e) for e in json.load(f))
+    return files
+
+
+def read_delete_manifests(metadata_dir: str, manifest_names: list[str]) -> list[DeleteFile]:
+    files: list[DeleteFile] = []
+    for name in manifest_names:
+        with open(os.path.join(metadata_dir, name)) as f:
+            files.extend(DeleteFile(**e) for e in json.load(f))
+    return files

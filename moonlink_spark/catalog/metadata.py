@@ -1,0 +1,129 @@
+"""Table metadata model — an Iceberg-*shaped* self-managed metadata store.
+
+Mirrors the structures moonlink persists through its custom Iceberg catalog
+(reference: src/moonlink/src/storage/table/iceberg/file_catalog.rs:590-673 for
+the versioned metadata json + version-hint, and
+storage/mooncake_table.rs:142-184 for DiskFileEntry/Snapshot), re-expressed as
+plain dataclasses serialized to JSON.
+
+Layout under a table root:
+
+    <root>/data/<run>-b<bin>.parquet          data files
+    <root>/data/<run>-del-b<bin>.parquet      position-delete files (file_path, pos)
+    <root>/metadata/v<N>.metadata.json        table metadata versions
+    <root>/metadata/version-hint.text         current version pointer (CAS)
+    <root>/metadata/manifest-<uuid>-<i>.json  chunked manifest files
+    <root>/metadata/lineage/<run_id>/         per-partition lineage records
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+# manifest rollover cap, mirroring moonlink's 25k entries / ~50MiB manifests
+# (reference: data_file_manifest_manager.rs:14-15,80-87)
+MANIFEST_MAX_ENTRIES = 25_000
+
+# file-size engineering constants lifted from the reference's release config
+FRESH_TARGET_BYTES = 128 * 1024 * 1024  # mooncake_table_config.rs:24 (snappy)
+COMPACT_TARGET_BYTES = 512 * 1024 * 1024  # compaction_config.rs:52 (zstd)
+
+
+@dataclass
+class DataFile:
+    """One parquet data file + stats (≈ Iceberg manifest entry / moonlink
+    DiskFileEntry, mooncake_table.rs:142-153)."""
+
+    file_path: str
+    record_count: int
+    file_size_bytes: int
+    # per-column {"min":..,"max":..,"null_count":..} (parquet_stats_utils.rs analog)
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # rows deleted by position-delete files in the current snapshot; drives
+    # the delete-ratio compaction trigger (snapshot_maintenance.rs:42-145)
+    deleted_count: int = 0
+    # sort/cluster provenance: None | "zorder" | "hilbert"
+    cluster_by: str | None = None
+
+    @property
+    def live_count(self) -> int:
+        return self.record_count - self.deleted_count
+
+    @property
+    def live_bytes(self) -> int:
+        if self.record_count == 0:
+            return 0
+        return int(self.file_size_bytes * self.live_count / self.record_count)
+
+
+@dataclass
+class DeleteFile:
+    """A position-delete parquet file: columns (file_path string, pos long).
+
+    Spark-native stand-in for moonlink's puffin deletion-vector blobs
+    (reference: table/iceberg/deletion_vector.rs; delete_vector.rs:9-15).
+    """
+
+    file_path: str
+    record_count: int
+    file_size_bytes: int
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    sequence_number: int
+    operation: str  # append | merge | compact | cluster | rewrite-manifests | expire
+    manifests: list[str]  # relative metadata/ paths of data manifests
+    delete_manifests: list[str]
+    summary: dict[str, Any] = field(default_factory=dict)
+    timestamp_ms: int = 0  # logical clock (= sequence), never wall time
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    location: str
+    schema_json: str  # Spark StructType.json()
+    key_columns: list[str]
+    current_snapshot_id: int | None = None
+    last_sequence_number: int = 0
+    snapshots: list[Snapshot] = field(default_factory=list)
+    properties: dict[str, Any] = field(default_factory=dict)
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
+
+    def current_snapshot(self) -> Snapshot | None:
+        if self.current_snapshot_id is None:
+            return None
+        return self.snapshot_by_id(self.current_snapshot_id)
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "TableMetadata":
+        d = json.loads(text)
+        snaps = [Snapshot(**s) for s in d.pop("snapshots", [])]
+        meta = TableMetadata(**{k: v for k, v in d.items()})
+        meta.snapshots = snaps
+        return meta
+
+
+def norm_path(p: str) -> str:
+    """Normalize a file path as stored in metadata and as reported by Spark's
+    _metadata.file_path (which prefixes file:)."""
+    if p.startswith("file:///"):
+        p = p[7:]
+    elif p.startswith("file:/"):
+        p = p[5:]
+    return os.path.abspath(p)

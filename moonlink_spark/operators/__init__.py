@@ -1,0 +1,18 @@
+from moonlink_spark.operators.merge import merge_into
+from moonlink_spark.operators.compaction import CompactionConfig, compact, plan_compaction
+from moonlink_spark.operators.clustering import cluster
+from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
+from moonlink_spark.operators.manifest_rewrite import rewrite_manifests
+from moonlink_spark.operators.optimize import optimize
+
+__all__ = [
+    "merge_into",
+    "CompactionConfig",
+    "compact",
+    "plan_compaction",
+    "cluster",
+    "expire_snapshots",
+    "sweep_orphans",
+    "rewrite_manifests",
+    "optimize",
+]

@@ -1,0 +1,265 @@
+"""Z-order / Hilbert clustering rewrite with salted range partitioning.
+
+Moonlink has no clustering (compactor.rs concatenates in input order); the
+north rule adds it. Design:
+
+1. PLAN (one cheap pass): per-dimension min/max come from manifest stats
+   (no data read); curve-key quantile boundaries come from a seeded sample.
+   Hot keys (duplicate quantile boundaries = heavy key ranges) get per-bin
+   salt factors so no single reducer drowns — the "salted repartitionByRange"
+   of BASELINE.json, implemented as explicit deterministic bins so a resumed
+   run reproduces identical files. The plan (bounds, boundaries, salts) is
+   persisted under lineage/<run_id>/plan.json.
+2. EXECUTE (one shuffle): a single Arrow-batched pandas UDF computes the
+   curve key AND the salted bin (np.searchsorted over the broadcast
+   boundaries) in one pass; rows shuffle once on the int bin; each reduce
+   task sorts its bin by key and streams it into a zstd-4 parquet file with
+   in-pass stats + lineage (plans/physical.py).
+
+At 100 TB: one full shuffle is unavoidable for a global re-cluster — this is
+the minimum-shuffle plan (no extra pass for sorting: sortWithinPartitions
+rides the shuffle). Skew is bounded by the salt factors; AQE handles
+residual imbalance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog.metadata import COMPACT_TARGET_BYTES, norm_path
+from moonlink_spark.functions.zorder import DEFAULT_BITS, curve_key
+from moonlink_spark.plans.physical import write_datafiles
+from moonlink_spark.table import MoonTable
+
+_SAMPLE_TARGET = 200_000  # sampled keys for boundary estimation
+_SEED = 42
+
+
+@dataclass
+class ClusterPlan:
+    run_id: str
+    curve: str
+    by: list[str]
+    bounds: list[tuple[float, float]]  # per-dimension (min, max)
+    boundaries: list[int]  # curve-key range boundaries (len = base_bins - 1)
+    salts: list[int]  # per base-bin salt factor (≥1)
+    offsets: list[int]  # cumulative salted-bin offsets (len = base_bins + 1)
+    victims: list[str] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+    @staticmethod
+    def from_json(s: str) -> "ClusterPlan":
+        d = json.loads(s)
+        d["bounds"] = [tuple(b) for b in d["bounds"]]
+        return ClusterPlan(**d)
+
+
+def _column_bounds(table: MoonTable, files, by: list[str]) -> list[tuple[float, float]]:
+    """Per-dimension min/max from manifest stats (no data read); falls back
+    to an agg scan only if stats are missing."""
+    bounds = []
+    missing = False
+    for c in by:
+        lo, hi = None, None
+        for f in files:
+            st = f.stats.get(c)
+            if not st or st.get("min") is None or st.get("max") is None:
+                missing = True
+                break
+            lo = st["min"] if lo is None else min(lo, st["min"])
+            hi = st["max"] if hi is None else max(hi, st["max"])
+        if missing:
+            break
+        bounds.append((float(lo), float(hi)))
+    if not missing and len(bounds) == len(by):
+        return bounds
+    row = (
+        table.scan(columns=by)
+        .agg(*[F.min(c).alias(f"mn_{c}") for c in by], *[F.max(c).alias(f"mx_{c}") for c in by])
+        .first()
+    )
+    return [(float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in by]
+
+
+def _plan(
+    table: MoonTable,
+    run_id: str,
+    by: list[str],
+    curve: str,
+    target_bytes: int,
+    bits: int,
+) -> ClusterPlan:
+    lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
+    plan_path = os.path.join(lineage_dir, "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            return ClusterPlan.from_json(f.read())
+
+    files = table.data_files()
+    victims = [norm_path(f.file_path) for f in files]
+    total_live = sum(f.live_bytes for f in files)
+    total_rows = max(1, sum(f.live_count for f in files))
+    base_bins = max(1, -(-total_live // target_bytes))
+    bounds = _column_bounds(table, files, by)
+
+    # seeded sample -> curve keys -> quantile boundaries
+    frac = min(1.0, _SAMPLE_TARGET / total_rows)
+    sample_pdf = (
+        table.scan(columns=by).sample(fraction=frac, seed=_SEED).toPandas()
+        if frac < 1.0
+        else table.scan(columns=by).toPandas()
+    )
+    if len(sample_pdf) == 0:
+        keys = np.zeros(1, dtype=np.int64)
+    else:
+        keys = curve_key(
+            [sample_pdf[c].to_numpy() for c in by], bounds, curve=curve, bits=bits
+        )
+    qs = np.quantile(keys, np.linspace(0, 1, base_bins + 1)[1:-1]) if base_bins > 1 else np.array([])
+    boundaries = [int(q) for q in qs]
+
+    # hot-range detection: expected rows per base bin from the sample; a bin
+    # holding > 2x its fair share gets a proportional salt factor
+    if len(keys) > 0 and base_bins > 1:
+        bin_ids = np.searchsorted(np.array(boundaries, dtype=np.int64), keys, side="right")
+        counts = np.bincount(bin_ids, minlength=base_bins).astype(np.float64)
+        fair = max(1.0, len(keys) / base_bins)
+        salts = [max(1, int(np.ceil(c / (2.0 * fair)))) for c in counts]
+    else:
+        salts = [1] * base_bins
+    offsets = [0]
+    for s in salts:
+        offsets.append(offsets[-1] + s)
+
+    plan = ClusterPlan(
+        run_id=run_id,
+        curve=curve,
+        by=list(by),
+        bounds=bounds,
+        boundaries=boundaries,
+        salts=salts,
+        offsets=offsets,
+        victims=victims,
+    )
+    os.makedirs(lineage_dir, exist_ok=True)
+    tmp = plan_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(plan.to_json())
+    os.rename(tmp, plan_path)
+    return plan
+
+
+def cluster(
+    table: MoonTable,
+    by: list[str] | None = None,
+    curve: str = "zorder",
+    run_id: str | None = None,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    bits: int = DEFAULT_BITS,
+) -> int:
+    """Full-table clustering rewrite; returns the new snapshot id."""
+    by = by or ["phash", "w", "h"]
+    run_id = run_id or uuid.uuid4().hex[:12]
+    plan = _plan(table, run_id, by, curve, target_bytes, bits)
+    lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
+
+    key_col = table.key_columns[0] if table.key_columns else by[0]
+    bounds = plan.bounds
+    boundaries = np.array(plan.boundaries, dtype=np.int64)
+    salts = np.array(plan.salts, dtype=np.int64)
+    offsets = np.array(plan.offsets[:-1], dtype=np.int64)
+    num_bins = int(plan.offsets[-1])
+    curve_name, by_cols, nbits = plan.curve, plan.by, bits
+
+    @F.pandas_udf("key long, bin int")
+    def _key_and_bin(*cols: pd.Series) -> pd.DataFrame:
+        arrays = [c.to_numpy() for c in cols[:-1]]
+        keys = curve_key(arrays, bounds, curve=curve_name, bits=nbits)
+        base = np.searchsorted(boundaries, keys, side="right")
+        salt_n = salts[base]
+        # deterministic salt from the row key string (crc32: stable across
+        # processes, unlike Python's seeded str hash)
+        import zlib as _zlib
+
+        ids = cols[-1].astype(str)
+        h = np.fromiter(
+            (_zlib.crc32(x.encode()) for x in ids), dtype=np.int64, count=len(ids)
+        )
+        bins = offsets[base] + np.where(salt_n > 1, h % salt_n, 0)
+        return pd.DataFrame({"key": keys, "bin": bins.astype(np.int32)})
+
+    # resume: bins already written (lineage present) are filtered out before
+    # the shuffle, so a resumed run re-reads only the missing bins' rows
+    done_bins = []
+    if os.path.isdir(lineage_dir):
+        for name in os.listdir(lineage_dir):
+            if name.startswith("bin-") and name.endswith(".json"):
+                done_bins.append(int(name[4:-5]))
+
+    df = table.scan()
+    kb = _key_and_bin(*[F.col(c) for c in by_cols], F.col(key_col))
+    df = df.withColumn("_kb", kb).select(
+        "*", F.col("_kb.key").alias("_zkey"), F.col("_kb.bin").alias("_bin")
+    ).drop("_kb")
+    if done_bins:
+        df = df.filter(~F.col("_bin").isin(done_bins))
+
+    new_files = write_datafiles(
+        df,
+        data_dir=table.catalog.data_dir,
+        run_id=run_id,
+        num_bins=num_bins,
+        compression="zstd",
+        compression_level=4,
+        sort_within=["_zkey"],
+        lineage_dir=lineage_dir,
+    )
+    for f in new_files:
+        f.cluster_by = plan.curve
+
+    # reconstruct skipped bins from lineage (they're part of this run's output)
+    have = {norm_path(f.file_path) for f in new_files}
+    for b in done_bins:
+        lp = os.path.join(lineage_dir, f"bin-{b:05d}.json")
+        with open(lp) as fh:
+            rec = json.load(fh)
+        if norm_path(rec["file_path"]) not in have:
+            from moonlink_spark.catalog.metadata import DataFile
+
+            new_files.append(
+                DataFile(
+                    file_path=rec["file_path"],
+                    record_count=int(rec["record_count"]),
+                    file_size_bytes=int(rec["file_size_bytes"]),
+                    stats=json.loads(rec["stats"]),
+                    cluster_by=plan.curve,
+                )
+            )
+
+    victim_set = set(plan.victims)
+    survivors = [f for f in table.data_files() if norm_path(f.file_path) not in victim_set]
+    sid = table.commit_snapshot(
+        "cluster",
+        survivors + new_files,
+        [],  # full rewrite applied all deletes inline -> table is DV-free
+        summary={
+            "run_id": run_id,
+            "curve": plan.curve,
+            "by": plan.by,
+            "removed-files": len(plan.victims),
+            "added-files": len(new_files),
+            "added-records": sum(f.record_count for f in new_files),
+            "salted-bins": int(sum(1 for s in plan.salts if s > 1)),
+        },
+    )
+    return sid

@@ -1,0 +1,232 @@
+"""Bin-packing small-file compaction with size-tiered selection.
+
+Re-creates moonlink's compaction job family (SURVEY.md §2 rows 18-20):
+
+- SELECTION mirrors snapshot_maintenance.rs:42-199 + compaction_config.rs:39-54:
+  a file qualifies if file_size < final target OR its delete ratio ≥ 50%;
+  a run needs at least `min_files` victims (release 16) and takes at most
+  `max_files` (release 32); modes BestEffort / ForceRegular / ForceFull
+  (ForceFull: min 2, size ∞, any delete ratio — snapshot_options.rs:13-23,
+  snapshot_maintenance.rs:66-67).
+- EXECUTION mirrors compactor.rs:180-306: stream-read each victim, apply its
+  deletion vector inline (anti-join), concatenate into ~512MiB zstd-4 files
+  (parquet_utils.rs:16-20). New files start DV-free; surviving deletes for
+  non-victim files are rewritten into fresh position-delete files (the DV
+  carry-over of iceberg_table_syncer.rs:315-350 without the remap, because
+  victims' deletes die with the victims).
+
+Spark-first scale design: compaction is SHUFFLE-FREE. The planner greedily
+packs victim files into ~target-size groups; each group is an independent
+column-complete scan→filter→write job (like Iceberg's RewriteDataFiles file
+groups), submitted concurrently from driver threads under FAIR scheduling.
+On a 1000-executor cluster each group is one task wave; no data crosses the
+network except victim bytes read + compacted bytes written.
+
+Every group writes a per-partition lineage record (files-in/out, rows,
+bytes); a killed run resumes by skipping groups whose lineage exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog.metadata import (
+    COMPACT_TARGET_BYTES,
+    DataFile,
+    norm_path,
+)
+from moonlink_spark.plans.physical import write_datafiles
+from moonlink_spark.table import MoonTable
+
+
+@dataclass
+class CompactionConfig:
+    # release-profile defaults from compaction_config.rs:48-54
+    min_files: int = 16
+    max_files: int = 32
+    target_bytes: int = COMPACT_TARGET_BYTES
+    delete_ratio: float = 0.50
+    mode: str = "best_effort"  # best_effort | force_regular | force_full
+
+
+@dataclass
+class CompactionPlan:
+    run_id: str
+    victims: list[str] = field(default_factory=list)  # normalized file paths
+    groups: list[list[str]] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps({"run_id": self.run_id, "victims": self.victims, "groups": self.groups})
+
+    @staticmethod
+    def from_json(s: str) -> "CompactionPlan":
+        d = json.loads(s)
+        return CompactionPlan(run_id=d["run_id"], victims=d["victims"], groups=d["groups"])
+
+
+def select_victims(files: list[DataFile], config: CompactionConfig) -> list[DataFile]:
+    """Size-tiered + delete-ratio selection (snapshot_maintenance.rs:42-145)."""
+    if config.mode == "force_full":
+        eligible = list(files)
+        min_files = 2
+    else:
+        eligible = [
+            f
+            for f in files
+            if f.file_size_bytes < config.target_bytes
+            or (f.record_count > 0 and f.deleted_count / f.record_count >= config.delete_ratio)
+        ]
+        min_files = 2 if config.mode == "force_regular" else config.min_files
+    if len(eligible) < min_files:
+        return []
+    # oldest/smallest first: stable order by (live_bytes, path) keeps the
+    # selection deterministic and prefers the tiniest files
+    eligible.sort(key=lambda f: (f.live_bytes, f.file_path))
+    return eligible[: config.max_files]
+
+
+def bin_pack(victims: list[DataFile], target_bytes: int) -> list[list[str]]:
+    """Greedy first-fit-decreasing pack of victims into ~target_bytes groups."""
+    groups: list[list[str]] = []
+    loads: list[int] = []
+    for f in sorted(victims, key=lambda f: (-f.live_bytes, f.file_path)):
+        placed = False
+        for i, load in enumerate(loads):
+            if load + f.live_bytes <= target_bytes:
+                groups[i].append(norm_path(f.file_path))
+                loads[i] += f.live_bytes
+                placed = True
+                break
+        if not placed:
+            groups.append([norm_path(f.file_path)])
+            loads.append(f.live_bytes)
+    return groups
+
+
+def plan_compaction(
+    table: MoonTable, config: CompactionConfig, run_id: str
+) -> CompactionPlan | None:
+    """Build (or reload, for resume) the deterministic compaction plan."""
+    lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
+    plan_path = os.path.join(lineage_dir, "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            return CompactionPlan.from_json(f.read())
+    victims = select_victims(table.data_files(), config)
+    if not victims:
+        return None
+    plan = CompactionPlan(
+        run_id=run_id,
+        victims=[norm_path(f.file_path) for f in victims],
+        groups=bin_pack(victims, config.target_bytes),
+    )
+    os.makedirs(lineage_dir, exist_ok=True)
+    tmp = plan_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(plan.to_json())
+    os.rename(tmp, plan_path)
+    return plan
+
+
+def compact(
+    table: MoonTable,
+    config: CompactionConfig | None = None,
+    run_id: str | None = None,
+    max_concurrent_groups: int = 8,
+) -> int | None:
+    """Run compaction; returns the new snapshot id, or None if nothing to do."""
+    config = config or CompactionConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    plan = plan_compaction(table, config, run_id)
+    if plan is None:
+        return None
+
+    spark = table.spark
+    schema = table.schema
+    victim_set = set(plan.victims)
+    lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
+
+    delete_files = table.delete_files()
+    deletes_df = table._read_deletes(delete_files)
+
+    def _compact_group(gi_group) -> list[DataFile]:
+        gi, group = gi_group
+        # resume: a group whose lineage record exists was fully written by a
+        # previous attempt of this run_id — skip the read entirely
+        lp = os.path.join(lineage_dir, f"bin-{gi:05d}.json")
+        if os.path.exists(lp):
+            with open(lp) as f:
+                rec = json.load(f)
+            if os.path.exists(rec["file_path"]):
+                return [
+                    DataFile(
+                        file_path=rec["file_path"],
+                        record_count=int(rec["record_count"]),
+                        file_size_bytes=int(rec["file_size_bytes"]),
+                        stats=json.loads(rec["stats"]),
+                    )
+                ]
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"compact-{gi % 4}")
+        df = spark.read.schema(schema).parquet(*group)
+        if deletes_df is not None:
+            df = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+            d = deletes_df.filter(F.col("file_path").isin(list(group)))
+            df = df.join(
+                d,
+                (df["_fp"] == d["file_path"]) & (df["_pos"] == d["pos"]),
+                "left_anti",
+            ).drop("_fp", "_pos")
+        binned = df.withColumn("_bin", F.lit(gi))
+        return write_datafiles(
+            binned,
+            data_dir=table.catalog.data_dir,
+            run_id=run_id,
+            num_bins=1,
+            compression="zstd",
+            compression_level=4,
+            lineage_dir=lineage_dir,
+        )
+
+    new_files: list[DataFile] = []
+    with ThreadPoolExecutor(max_workers=max_concurrent_groups) as pool:
+        for files in pool.map(_compact_group, enumerate(plan.groups)):
+            new_files.extend(files)
+
+    # mark provenance: these are compacted (cold, zstd) files
+    survivors = [f for f in table.data_files() if norm_path(f.file_path) not in victim_set]
+
+    # rewrite the surviving delete set: victims' deletes die with the victims
+    new_delete_entries: list = []
+    n_surviving_deletes = 0
+    if delete_files:
+        surviving = deletes_df.filter(~F.col("file_path").isin(list(victim_set)))
+        n_surviving_deletes = surviving.count()
+        if n_surviving_deletes > 0:
+            new_delete_entries = table.write_position_deletes(
+                surviving, run_id=run_id + "-dv", num_bins=1
+            )
+
+    sid = table.commit_snapshot(
+        "compact",
+        survivors + new_files,
+        new_delete_entries,
+        summary={
+            "run_id": run_id,
+            "removed-files": len(plan.victims),
+            "added-files": len(new_files),
+            "added-records": sum(f.record_count for f in new_files),
+            "surviving-delete-positions": n_surviving_deletes,
+            "groups": len(plan.groups),
+        },
+    )
+    return sid

@@ -1,0 +1,34 @@
+"""optimize(table, mode) — the user-facing maintenance façade.
+
+Mirrors moonlink's optimize_table API (moonlink_backend/src/lib.rs:357-372;
+REST rest_api.rs:760-771): mode "data" -> best-effort compaction, "index" ->
+metadata merge (manifest rewrite — Spark joins replace moonlink's hash-file
+indexes, so the index-merge analog is manifest coalescing), "full" -> force
+compaction of everything (ForceFull thresholds: min 2 files, size ∞, any
+delete ratio — snapshot_maintenance.rs:66-67), optionally clustered.
+"""
+
+from __future__ import annotations
+
+from moonlink_spark.operators.clustering import cluster
+from moonlink_spark.operators.compaction import CompactionConfig, compact
+from moonlink_spark.operators.manifest_rewrite import rewrite_manifests
+from moonlink_spark.table import MoonTable
+
+
+def optimize(
+    table: MoonTable,
+    mode: str = "data",
+    run_id: str | None = None,
+    cluster_by: list[str] | None = None,
+    curve: str = "zorder",
+) -> int | None:
+    if mode == "data":
+        return compact(table, CompactionConfig(mode="best_effort"), run_id=run_id)
+    if mode == "index":
+        return rewrite_manifests(table)
+    if mode == "full":
+        if cluster_by:
+            return cluster(table, by=cluster_by, curve=curve, run_id=run_id)
+        return compact(table, CompactionConfig(mode="force_full"), run_id=run_id)
+    raise ValueError(f"unknown optimize mode {mode!r} (data|index|full)")

@@ -1,38 +1,749 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql for the moonlink_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Two query families, every one paired with a DuckDB oracle where SQL can
+express it:
+
+1. ENGINE queries (SURVEY.md §2 rows 1-27): build a deterministic
+   image+caption table *derived from the driver's parquet testdata* (so the
+   oracle can re-derive it in pure SQL), run a maintenance job (append /
+   MERGE / compact / cluster / time-travel / expire / stats), scan, return.
+   Maintenance must preserve exact row sets, so the oracle is the same
+   derivation + (for MERGE) last-writer-wins SQL.
+
+2. PIPELINE queries (training-data ops): dedup (exact, n-gram Jaccard,
+   MinHash+LSH, SimHash), similarity (cosine top-k, LSH ANN), text analysis
+   (tokens, quality, language-ID, fingerprint) over the documents /
+   embeddings tables. All hashes are the shared md5-derived family
+   (moonlink_spark/functions/hashing.py) so DuckDB reproduces them exactly.
+
+Non-SQL-expressible ops (Hilbert kernel, image decode) ship without an
+oracle entry -> driver records the weaker rows-only check; pytest covers
+their semantics (tests/).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
+import tempfile
 from collections.abc import Callable
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------- dialects
+
+_HOT_PREFIX = 1953          # hot phash prefix (skew driver, FIXTURES.md F1)
+_P48 = 281474976710656      # 2^48
+
+
+def _hexint(d: str, expr: str, chars: int = 15) -> str:
+    """Shared 60-bit md5 hash — see functions/hashing.py."""
+    if d == "spark":
+        return f"CAST(conv(substr(md5({expr}), 1, {chars}), 16, 10) AS BIGINT)"
+    return f"(('0x' || substr(md5({expr}), 1, {chars}))::BIGINT)"
+
+
+def _s(d: str) -> str:
+    return "STRING" if d == "spark" else "VARCHAR"
+
+
+def _images_select(d: str) -> str:
+    """The deterministic image+caption table derived from `orders` —
+    identical rows in Spark and DuckDB (BASELINE.json input_hint shape)."""
+    oks = f"CAST(o_orderkey AS {_s(d)})"
+    iid = f"('img-' || lpad({oks}, 12, '0'))"
+    hx = _hexint(d, iid)
+    return f"""
+SELECT {iid} AS image_id,
+       unhex(md5({oks})) AS bytes,
+       CAST((o_orderkey % 49) + 16 AS INT) AS w,
+       CAST(((o_orderkey * 31) % 49) + 16 AS INT) AS h,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       ('caption ' || o_orderpriority || ' order ' || {oks}) AS caption,
+       CASE WHEN o_orderkey % 5 = 0
+            THEN CAST({_HOT_PREFIX} AS BIGINT) * {_P48} + ({hx} % {_P48})
+            ELSE {hx} END AS phash
+FROM orders"""
+
+
+def _changes_select(d: str) -> str:
+    """Deterministic CDC batch (op, lsn, full row) against the derived
+    images table — FIXTURES.md F2 mix incl. the adversarial cases: double
+    update of one key, delete-then-reinsert, delete of a missing key."""
+    S = _s(d)
+    B = "BINARY" if d == "spark" else "BLOB"
+    oks = f"CAST(o_orderkey AS {S})"
+    iid = f"('img-' || lpad({oks}, 12, '0'))"
+    new_iid = f"('img-' || lpad(CAST(o_orderkey + 100000000 AS {S}), 12, '0'))"
+    gone_iid = f"('img-' || lpad(CAST(o_orderkey + 200000000 AS {S}), 12, '0'))"
+
+    def payload(tag: str, idexpr: str) -> str:
+        hx = _hexint(d, f"('{tag}-' || {idexpr})")
+        return f"""unhex(md5('{tag}-' || {oks})) AS bytes,
+       CAST(((o_orderkey * {13 if tag == 'u1' else 19 if tag == 'u2' else 23 if tag == 'n' else 29}) % 49) + 16 AS INT) AS w,
+       CAST(((o_orderkey * {17 if tag == 'u1' else 7 if tag == 'u2' else 11 if tag == 'n' else 37}) % 49) + 16 AS INT) AS h,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       ('{tag} caption order ' || {oks}) AS caption,
+       {hx} AS phash"""
+
+    nulls = f"""CAST(NULL AS {B}) AS bytes, CAST(NULL AS INT) AS w,
+       CAST(NULL AS INT) AS h, CAST(NULL AS {S}) AS fmt,
+       CAST(NULL AS {S}) AS caption, CAST(NULL AS BIGINT) AS phash"""
+
+    return f"""
+SELECT 'U' AS op, CAST(1000000 + o_orderkey AS BIGINT) AS lsn, {iid} AS image_id,
+       {payload('u1', iid)}
+FROM orders WHERE o_orderkey % 10 IN (0, 1)
+UNION ALL
+SELECT 'U' AS op, CAST(3000000 + o_orderkey AS BIGINT) AS lsn, {iid} AS image_id,
+       {payload('u2', iid)}
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT 'D' AS op, CAST(1000000 + o_orderkey AS BIGINT) AS lsn, {iid} AS image_id,
+       {nulls}
+FROM orders WHERE o_orderkey % 10 = 2
+UNION ALL
+SELECT 'I' AS op, CAST(1000000 + o_orderkey AS BIGINT) AS lsn, {new_iid} AS image_id,
+       {payload('n', new_iid)}
+FROM orders WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT 'I' AS op, CAST(4000000 + o_orderkey AS BIGINT) AS lsn, {iid} AS image_id,
+       {payload('r', iid)}
+FROM orders WHERE o_orderkey % 20 = 2
+UNION ALL
+SELECT 'D' AS op, CAST(1000000 + o_orderkey AS BIGINT) AS lsn, {gone_iid} AS image_id,
+       {nulls}
+FROM orders WHERE o_orderkey % 10 = 4"""
+
+
+_NO_BYTES = "image_id, w, h, fmt, caption, phash"
+
+
+def _lww_select(d: str, cols: str = _NO_BYTES) -> str:
+    """Last-writer-wins final state of images ⊕ changes (merge.py semantics:
+    max lsn wins; on a tie the non-delete row wins; D rows vanish)."""
+    return f"""
+WITH images AS ({_images_select(d)}),
+changes AS ({_changes_select(d)}),
+allr AS (
+  SELECT image_id, bytes, w, h, fmt, caption, phash, 'I' AS op, CAST(0 AS BIGINT) AS lsn FROM images
+  UNION ALL
+  SELECT image_id, bytes, w, h, fmt, caption, phash, op, lsn FROM changes
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY image_id
+      ORDER BY lsn DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END
+  ) AS rn
+  FROM allr
+)
+SELECT {cols} FROM ranked WHERE rn = 1 AND op <> 'D'"""
+
+
+# ------------------------------------------------------- spark-side helpers
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+
+
+def _images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load_views(spark, sf_dir)
+    return spark.sql(f"WITH images AS ({_images_select('spark')}) SELECT * FROM images")
+
+
+def _changes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load_views(spark, sf_dir)
+    return spark.sql(f"WITH changes AS ({_changes_select('spark')}) SELECT * FROM changes")
+
+
+def _fresh_root(name: str) -> str:
+    root = os.path.join(tempfile.gettempdir(), "moonlink_entry", name)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+    return root
+
+
+def _make_table(spark: SparkSession, sf_dir: str, name: str, rows_per_file: int = 131_072):
+    from moonlink_spark.sources.fixtures import IMAGES_SCHEMA
+    from moonlink_spark.table import MoonTable
+
+    root = _fresh_root(name)
+    t = MoonTable.create(spark, root, IMAGES_SCHEMA, key_columns=["image_id"])
+    t.append(_images_df(spark, sf_dir), run_id="base", rows_per_file=rows_per_file)
+    return t
+
+
+# ------------------------------------------------------------ engine queries
+
+def q_bulk_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 1/5/7: bulk ingest + fast-append commit + snapshot scan (bytes
+    included — proves binary round-trip through our parquet writer)."""
+    t = _make_table(spark, sf_dir, "bulk_append")
+    return t.scan()
+
+
+def q_merge_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 2-3/10-12: MERGE INTO with LWW dedup, position-delete writes,
+    atomic snapshot commit; scan of the post-merge snapshot."""
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "merge_cdc")
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 18-20: size-tiered selection + bin-packing compaction over an
+    80%-small-files layout carrying position deletes from a prior MERGE."""
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "compact_small", rows_per_file=512)
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    compact(t, CompactionConfig(mode="force_full"), run_id="c1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering rewrite (north-rule op): bit-interleaved keys over
+    (phash, w, h), salted range partition; row set must be preserved."""
+    from moonlink_spark.operators.clustering import cluster
+
+    t = _make_table(spark, sf_dir, "cluster_z")
+    cluster(t, by=["phash", "w", "h"], curve="zorder", run_id="z1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_cluster_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering rewrite; row set must be preserved."""
+    from moonlink_spark.operators.clustering import cluster
+
+    t = _make_table(spark, sf_dir, "cluster_h")
+    cluster(t, by=["phash", "w", "h"], curve="hilbert", run_id="h1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 25-26: snapshot-isolated read-at-version — after a MERGE, scan
+    the PRE-merge snapshot; must equal the original base table."""
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "time_travel")
+    pre = t.current_snapshot_id()
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    return t.scan(snapshot_id=pre, columns=_NO_BYTES.split(", "))
+
+
+def q_expire_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 24 (north-rule op): snapshot expiry + reachability orphan sweep
+    after merge+compact; the surviving snapshot must scan identically."""
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+    from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "expire_sweep", rows_per_file=2048)
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    compact(t, CompactionConfig(mode="force_full"), run_id="c1")
+    expire_snapshots(t, retain_last=1)
+    sweep_orphans(t, quarantine=False)
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 15-17: per-file min/max column stats in the manifests — the
+    table-level aggregate computed from MANIFEST METADATA ONLY (no data
+    read) must match the oracle's full-data aggregate."""
+    import pyspark.sql.types as T
+
+    t = _make_table(spark, sf_dir, "manifest_stats", rows_per_file=4096)
+    files = t.data_files()
+    rc = sum(f.record_count for f in files)
+
+    def agg(col, fn):
+        vals = [f.stats[col][fn] for f in files if f.stats.get(col, {}).get(fn) is not None]
+        return (min if fn == "min" else max)(vals)
+
+    schema = T.StructType([
+        T.StructField("record_count", T.LongType()),
+        T.StructField("min_w", T.IntegerType()),
+        T.StructField("max_w", T.IntegerType()),
+        T.StructField("min_h", T.IntegerType()),
+        T.StructField("max_h", T.IntegerType()),
+        T.StructField("min_phash", T.LongType()),
+        T.StructField("max_phash", T.LongType()),
+        T.StructField("min_caption", T.StringType()),
+        T.StructField("max_caption", T.StringType()),
+    ])
+    row = [(rc, agg("w", "min"), agg("w", "max"), agg("h", "min"), agg("h", "max"),
+            agg("phash", "min"), agg("phash", "max"),
+            agg("caption", "min"), agg("caption", "max"))]
+    return spark.createDataFrame(row, schema)
+
+
+def q_zorder_key_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order bit-interleave kernel itself, checked value-for-value:
+    exact integer dims in [0, 2^16) -> 48-bit Morton code (vectorized numpy
+    UDF vs the oracle's unrolled bitwise SQL)."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.functions.zorder import curve_key
+
+    _load_views(spark, sf_dir)
+    df = spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 65536 AS BIGINT) AS x,
+               CAST((l_suppkey * 131) % 65536 AS BIGINT) AS y,
+               CAST((l_orderkey * 31 + l_linenumber) % 65536 AS BIGINT) AS z
+        FROM lineitem""")
+    bounds = [(0.0, 65535.0)] * 3
+
+    @F.pandas_udf("long")
+    def zkey(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        out = curve_key(
+            [x.to_numpy(), y.to_numpy(), z.to_numpy()], bounds, curve="zorder", bits=16
+        )
+        return pd.Series(out)
+
+    return df.select("l_orderkey", "l_linenumber", "x", "y", "z",
+                     zkey("x", "y", "z").alias("zkey"))
+
+
+def q_hilbert_key_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert index kernel (Skilling transpose) — no SQL oracle (rows-only
+    check); bijectivity/adjacency proven in tests/test_zorder.py."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.functions.zorder import curve_key
+
+    _load_views(spark, sf_dir)
+    df = spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 65536 AS BIGINT) AS x,
+               CAST((l_suppkey * 131) % 65536 AS BIGINT) AS y,
+               CAST((l_orderkey * 31 + l_linenumber) % 65536 AS BIGINT) AS z
+        FROM lineitem""")
+    bounds = [(0.0, 65535.0)] * 3
+
+    @F.pandas_udf("long")
+    def hkey(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        out = curve_key(
+            [x.to_numpy(), y.to_numpy(), z.to_numpy()], bounds, curve="hilbert", bits=16
+        )
+        return pd.Series(out)
+
+    return df.select("l_orderkey", "l_linenumber",
+                     hkey("x", "y", "z").alias("hkey"))
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for b in range(16):
+        for dd, col in enumerate(("x", "y", "z")):
+            terms.append(f"((({col} >> {b}) & 1) * {1 << (3 * b + dd)})")
+    zk = " + ".join(terms)
+    return f"""
+WITH dims AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_partkey % 65536 AS BIGINT) AS x,
+         CAST((l_suppkey * 131) % 65536 AS BIGINT) AS y,
+         CAST((l_orderkey * 31 + l_linenumber) % 65536 AS BIGINT) AS z
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, x, y, z, CAST({zk} AS BIGINT) AS zkey FROM dims"""
+
+
+# ---------------------------------------------------------- pipeline queries
+
+_SHINGLE_K = 3
+_JACCARD_T = 0.05
+_MINHASH_PERMS = 16
+_MINHASH_BANDS = 8
+_COS_QUERY_IDS = list(range(8))
+_LSH_PLANES = 8
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.dedup import exact_dedup
+
+    _load_views(spark, sf_dir)
+    return exact_dedup(spark.table("documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.dedup import jaccard_pairs
+
+    _load_views(spark, sf_dir)
+    return jaccard_pairs(spark.table("documents"), k=_SHINGLE_K, threshold=_JACCARD_T)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.dedup import minhash_lsh_pairs
+
+    _load_views(spark, sf_dir)
+    return minhash_lsh_pairs(
+        spark.table("documents"), num_perms=_MINHASH_PERMS, bands=_MINHASH_BANDS,
+        threshold=_JACCARD_T, k=_SHINGLE_K,
+    )
+
+
+def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.dedup import minhash_signatures
+
+    _load_views(spark, sf_dir)
+    return minhash_signatures(spark.table("documents"), num_perms=_MINHASH_PERMS, k=_SHINGLE_K)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.dedup import simhash
+
+    _load_views(spark, sf_dir)
+    return simhash(spark.table("documents"))
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.similarity import cosine_topk
+
+    _load_views(spark, sf_dir)
+    return cosine_topk(spark.table("embeddings"), _COS_QUERY_IDS, k=5)
+
+
+def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.similarity import lsh_buckets
+
+    _load_views(spark, sf_dir)
+    return lsh_buckets(spark.table("embeddings"), n_planes=_LSH_PLANES).select(
+        "vec_id", "bucket"
+    )
+
+
+def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.similarity import lsh_ann_topk
+
+    _load_views(spark, sf_dir)
+    return lsh_ann_topk(spark.table("embeddings"), _COS_QUERY_IDS, k=5, n_planes=_LSH_PLANES)
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.text import token_stats
+
+    _load_views(spark, sf_dir)
+    return token_stats(spark.table("documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.text import quality_score
+
+    _load_views(spark, sf_dir)
+    return quality_score(spark.table("documents"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.text import lang_id
+
+    _load_views(spark, sf_dir)
+    return lang_id(spark.table("documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.text import fingerprint
+
+    _load_views(spark, sf_dir)
+    return fingerprint(spark.table("documents"))
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: real encoded pixels through Arrow-batched
+    mapInPandas decode. No SQL oracle (rows-only); pixel/phash invariants
+    asserted in tests/test_pipeline.py."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.pipeline.multimodal import decode_stats
+    from moonlink_spark.sources.fixtures import generate_images_df
+
+    n = max(200, min(2000, _images_df(spark, sf_dir).count() // 8))
+    imgs = generate_images_df(spark, int(n), seed=42)
+    return decode_stats(imgs).orderBy(F.col("image_id"))
+
+
+# ------------------------------------------------------------- oracle SQL
+
+def _pipeline_sqls() -> dict[str, str]:
+    d = "duck"
+    hx = lambda e: _hexint(d, e)  # noqa: E731
+    k = _SHINGLE_K
+
+    words = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    shingles_cte = f"""
+words AS (SELECT doc_id AS id, {words} AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT id, unnest(
+    CASE WHEN len(ws) >= {k}
+         THEN list_transform(range(1, len(ws) - {k} + 2), i -> array_to_string(ws[i:i+{k}-1], ' '))
+         ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM words)"""
+
+    jaccard_body = f"""
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+jac AS (
+  SELECT doc_a, doc_b, inter,
+         (sa.sz + sb.sz - inter) AS uni
+  FROM inter
+  JOIN sizes sa ON sa.id = doc_a
+  JOIN sizes sb ON sb.id = doc_b)"""
+
+    perms_rows = ", ".join(
+        f"({i}, {_perm('a', i)}, {_perm('b', i)})" for i in range(_MINHASH_PERMS)
+    )
+    minhash_cte = f"""
+perms(perm, a, b) AS (SELECT * FROM (VALUES {perms_rows}) t(perm, a, b)),
+sigs AS (
+  SELECT id, perm,
+         min((a * ({hx('shingle')} % 2147483647) + b) % 2147483647) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY id, perm)"""
+
+    rpb = _MINHASH_PERMS // _MINHASH_BANDS
+    lsh_cte = f"""
+banded AS (
+  SELECT id, (perm // {rpb}) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_sig
+  FROM sigs GROUP BY id, (perm // {rpb})),
+buckets AS (
+  SELECT id, {hx("(CAST(band AS VARCHAR) || '|' || band_sig)")} AS bucket FROM banded),
+cand AS (
+  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id)"""
+
+    simhash_sums = ", ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN tf ELSE -tf END) AS s{b}"
+        for b in range(60)
+    )
+    simhash_bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+
+    dot = ("list_sum(list_transform(range(1, 65), "
+           "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))")
+    norm = lambda al: (f"sqrt(list_sum(list_transform(range(1, 65), "  # noqa: E731
+                       f"i -> {al}.embedding[i]::DOUBLE * {al}.embedding[i]::DOUBLE)))")
+    qids = ", ".join(str(i) for i in _COS_QUERY_IDS)
+
+    from moonlink_spark.pipeline.similarity import plane_weights
+    planes = plane_weights(_LSH_PLANES, 64)
+    bucket_terms = []
+    for p, wts in enumerate(planes):
+        lits = ", ".join(repr(w) for w in wts)
+        dp = (f"list_sum(list_transform(range(1, 65), "
+              f"i -> embedding[i]::DOUBLE * ([{lits}])[i]))")
+        bucket_terms.append(
+            f"(CASE WHEN {dp} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket_expr = " + ".join(bucket_terms)
+
+    # ---- text analysis oracles -------------------------------------------
+    from moonlink_spark.pipeline.text import (
+        LANG_MARKERS, LANG_ORDER, PUNCT_REGEX, STOPWORDS, TOKEN_REGEX)
+
+    padded = "(' ' || lower(trim(text)) || ' ')"
+
+    def occ(tok: str) -> str:
+        esc = tok.replace("'", "''")
+        return (f"CAST((length({padded}) - length(replace({padded}, '{esc}', '')))"
+                f" / {len(tok)} AS BIGINT)")
+
+    lang_scores = []
+    for lang in LANG_ORDER:
+        parts = " + ".join(occ(m) for m in LANG_MARKERS[lang])
+        lang_scores.append(f"({parts}) AS score_{lang}")
+    best = f"'{LANG_ORDER[0]}'"
+    best_score = f"score_{LANG_ORDER[0]}"
+    for lang in LANG_ORDER[1:]:
+        best = f"CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN score_{lang} > {best_score} THEN score_{lang} ELSE {best_score} END"
+
+    stop_hits = " + ".join(f"CAST({occ(s)} AS DOUBLE)" for s in STOPWORDS)
+    quality_sql = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(trim(text), '{PUNCT_REGEX}')) AS DOUBLE) AS punct,
+         ({stop_hits}) AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       round(stop_hits / greatest(n_tokens, 1.0), 6) AS stop_ratio,
+       round(n_chars / greatest(n_tokens, 1.0), 6) AS mean_word_len,
+       round(punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+       round((CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stop_hits / greatest(n_tokens, 1.0) >= 0.01 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_chars / greatest(n_tokens, 1.0) >= 3.0
+                    AND n_chars / greatest(n_tokens, 1.0) <= 12.0 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN punct / greatest(n_chars, 1.0) <= 0.1 THEN 0.25 ELSE 0.0 END), 2)
+         AS quality
+FROM t"""
+
+    norm_text = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+    return {
+        "dedup_exact": """
+SELECT min(doc_id) AS keeper_id, md5(text) AS text_md5,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)""",
+        "dedup_ngram_jaccard": f"""
+WITH {shingles_cte}, {jaccard_body}
+SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard
+FROM jac WHERE inter::DOUBLE / uni >= {_JACCARD_T}""",
+        "dedup_minhash_sigs": f"""
+WITH {shingles_cte}, {minhash_cte}
+SELECT id, perm, minhash FROM sigs""",
+        "dedup_minhash_lsh": f"""
+WITH {shingles_cte}, {minhash_cte}, {lsh_cte}, {jaccard_body}
+SELECT j.doc_a, j.doc_b, round(j.inter::DOUBLE / j.uni, 6) AS jaccard
+FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.inter::DOUBLE / j.uni >= {_JACCARD_T}""",
+        "dedup_simhash": f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({words}) AS token FROM documents),
+tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY id, token),
+hashed AS (SELECT id, tf, {hx('token')} AS h FROM tf),
+bits AS (SELECT id, {simhash_sums} FROM hashed GROUP BY id)
+SELECT id, ({simhash_bits}) AS simhash FROM bits""",
+        "embed_cosine_topk": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({dot} / ({norm('q')} * {norm('c')}), 6) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id IN ({qids}) AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5""",
+        "embed_lsh_buckets": f"""
+SELECT vec_id, ({bucket_expr}) AS bucket FROM embeddings""",
+        "embed_lsh_ann": f"""
+WITH bucketed AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({dot} / ({norm('q')} * {norm('c')}), 6) AS cos
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+  WHERE q.vec_id IN ({qids}) AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5""",
+        "text_tokens": f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(trim(text), '{TOKEN_REGEX}')) AS BIGINT) AS re_tokens,
+       CAST(length(trim(text)) AS BIGINT) AS n_chars
+FROM documents""",
+        "text_quality": quality_sql,
+        "text_langid": f"""
+WITH scored AS (SELECT doc_id, {', '.join(lang_scores)} FROM documents)
+SELECT doc_id, ({best}) AS pred_lang, CAST({best_score} AS BIGINT) AS marker_hits
+FROM scored""",
+        "text_fingerprint": f"""
+SELECT doc_id, {hx(norm_text)} AS fingerprint,
+       CAST({hx(norm_text)} % 65536 AS INT) AS fp_bucket
+FROM documents""",
+    }
+
+
+def _perm(kind: str, i: int) -> int:
+    from moonlink_spark.functions.hashing import MERSENNE_31, perm_coeff
+
+    return perm_coeff(kind, i, MERSENNE_31)
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full maintenance lifecycle at sf0.001 — ingest the derived
+    image+caption table, MERGE a CDC batch, compact, Z-order cluster, scan."""
+    sf_dir = "/root/testdata/sf0.001"
+    from moonlink_spark.operators.clustering import cluster
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "flagship", rows_per_file=256)
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    compact(t, CompactionConfig(mode="force_full"), run_id="c1")
+    cluster(t, by=["phash", "w", "h"], curve="zorder", run_id="z1")
+    return t.scan(columns=_NO_BYTES.split(", "))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # engine / maintenance (SURVEY.md §2)
+        "bulk_append_scan": q_bulk_append_scan,
+        "merge_cdc_lww": q_merge_cdc_lww,
+        "compact_small_files": q_compact_small_files,
+        "cluster_zorder": q_cluster_zorder,
+        "cluster_hilbert": q_cluster_hilbert,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "expire_orphan_scan": q_expire_orphan_scan,
+        "manifest_stats": q_manifest_stats,
+        "zorder_key_kernel": q_zorder_key_kernel,
+        "hilbert_key_kernel": q_hilbert_key_kernel,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_lsh_buckets": q_embed_lsh_buckets,
+        "embed_lsh_ann": q_embed_lsh_ann,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "image_decode_stats": q_image_decode_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d = "duck"
+    base_images = f"WITH images AS ({_images_select(d)}) SELECT * FROM images"
+    base_no_bytes = (f"WITH images AS ({_images_select(d)}) "
+                     f"SELECT {_NO_BYTES} FROM images")
+    lww = _lww_select(d)
+    out = {
+        "bulk_append_scan": base_images,
+        "merge_cdc_lww": lww,
+        "compact_small_files": lww,
+        "cluster_zorder": lww.replace("changes", "changes") if False else None,  # set below
+        "cluster_hilbert": None,
+        "snapshot_time_travel": base_no_bytes,
+        "expire_orphan_scan": lww,
+        "manifest_stats": f"""
+WITH images AS ({_images_select(d)})
+SELECT CAST(count(*) AS BIGINT) AS record_count,
+       min(w) AS min_w, max(w) AS max_w,
+       min(h) AS min_h, max(h) AS max_h,
+       min(phash) AS min_phash, max(phash) AS max_phash,
+       min(caption) AS min_caption, max(caption) AS max_caption
+FROM images""",
+        "zorder_key_kernel": _zorder_sql(),
+        # hilbert_key_kernel, image_decode_stats: no SQL analog -> rows-only
+    }
+    # cluster queries rewrite the BASE table (no merge): oracle = base rows
+    out["cluster_zorder"] = base_no_bytes
+    out["cluster_hilbert"] = base_no_bytes
+    out.update(_pipeline_sqls())
+    return {k: v for k, v in out.items() if v is not None}

@@ -27,7 +27,9 @@ def normalize_to_bits(
         return np.zeros(len(x), dtype=np.uint64)
     maxv = (1 << bits) - 1
     scaled = np.clip((x - lo) / span, 0.0, 1.0) * maxv
-    out = np.nan_to_num(scaled, nan=0.0).astype(np.uint64)
+    # round-to-nearest, not truncate: integer inputs at exact bounds must
+    # round-trip exactly (x/maxv*maxv can land at x−ulp, truncating to x−1)
+    out = np.rint(np.nan_to_num(scaled, nan=0.0)).astype(np.uint64)
     return out
 
 

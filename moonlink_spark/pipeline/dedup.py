@@ -1,0 +1,212 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Spark-first shapes (what survives at 100 TB / 10^12 docs):
+
+- exact: one hash-shuffle on md5(text) — the minimum possible.
+- n-gram Jaccard: shingle-explode → self-join on shingle → count. Quadratic
+  in the worst case; at scale it is ONLY used to verify candidate pairs
+  from LSH (bounded fan-in), never as a full self-join. The full-pair form
+  here is the small-scale oracle-checkable variant.
+- MinHash+LSH: shingle → K permuted minima → B bands → bucket-join. Scales
+  linearly; hot buckets (boilerplate docs) are the skew risk — AQE skew-join
+  handles the candidate join, and band keys include the band id so no
+  single reducer sees all bands.
+- SimHash: token-hash sign aggregation — one map + one groupBy(doc).
+
+All hashes are the shared md5-derived 60/31-bit family (functions/hashing)
+so every operator has an exact DuckDB SQL twin for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from moonlink_spark.functions.hashing import MERSENNE_31, hex_int, perm_coeff
+
+SIMHASH_BITS = 60  # shared hash yields 60 bits (15 hex chars)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id.
+    Returns (keeper_id, text_md5, dup_count). One shuffle, map-side combine."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+        .select("keeper_id", "text_md5", "dup_count")
+    )
+
+
+def word_shingles(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word k-shingles per doc: (id, shingle). Map-side explode —
+    no shuffle until the consumer aggregates."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    shingles = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    inter from a self-join on shingle; |A∪B| = |A|+|B|−inter. The join
+    shuffles on the shingle value — frequent shingles are the skew axis
+    (AQE skew split on). Full-pair form: use only on bounded inputs or as
+    the LSH verification kernel."""
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _perms_df(spark, num_perms: int) -> DataFrame:
+    rows = [
+        (i, perm_coeff("a", i, MERSENNE_31), perm_coeff("b", i, MERSENNE_31))
+        for i in range(num_perms)
+    ]
+    return spark.createDataFrame(rows, "perm int, a long, b long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perms: int = 32,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures in long form: (id, perm, minhash).
+
+    h' = shared_hash(shingle) mod P; perm_i = (a_i·h' + b_i) mod P, P=2^31−1
+    (universal hashing; all intermediates < 2^62 so Spark and DuckDB agree
+    exactly). One explode + one broadcast cross-join with the (small) perm
+    table + one groupBy(id, perm) min — the groupBy is the only shuffle and
+    is map-side combined."""
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    perms = F.broadcast(_perms_df(df.sparkSession, num_perms))
+    hp = hex_int(F.col("shingle")) % F.lit(MERSENNE_31)
+    return (
+        sh.select("id", hp.alias("hp"))
+        .crossJoin(perms)
+        .groupBy("id", "perm")
+        .agg(F.min((F.col("a") * F.col("hp") + F.col("b")) % F.lit(MERSENNE_31)).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perms: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Band signature = shared_hash of the comma-joined minima of that band
+    (ordered by perm — order made explicit so the result is deterministic);
+    candidates = docs sharing any (band, signature) bucket; final pairs are
+    verified with exact shingle Jaccard ≥ threshold, so false positives
+    cost extra compute but never wrong output."""
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(df, num_perms=num_perms, k=k, text_col=text_col, id_col=id_col)
+    banded = (
+        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+        .withColumn("bucket", hex_int(F.concat_ws("|", F.col("band").cast("string"), F.col("band_sig"))))
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    candidates = (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
+        .distinct()
+    )
+    # verification kernel: exact jaccard restricted to candidate docs
+    cand_ids = candidates.select(F.col("doc_a").alias("id")).union(
+        candidates.select(F.col("doc_b").alias("id"))
+    ).distinct()
+    sub = df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    verified = jaccard_pairs(sub, k=k, threshold=threshold, text_col=text_col, id_col=id_col)
+    return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Charikar SimHash over whitespace tokens, weighted by term frequency.
+
+    bit b of the fingerprint = sign of Σ_tokens tf·(2·bit_b(hash(token))−1).
+    One explode + one groupBy(id): the per-bit sums are 60 independent
+    conditional aggregates, all map-side combined — a single shuffle."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+    tf = tok.groupBy("id", "token").agg(F.count("*").cast("long").alias("tf"))
+    h = hex_int(F.col("token"))
+    contribs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_bit = tf.groupBy("id").agg(*contribs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return per_bit.select(F.col("id"), sim.alias("simhash"))

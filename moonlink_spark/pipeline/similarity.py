@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and
+LSH-bucketed ANN.
+
+Scale shape: brute force is O(Q·N) — correct baseline, used when Q is small
+(broadcast the queries, map over N). The LSH path buckets vectors by
+random-hyperplane sign bits so the candidate set shrinks ~2^planes-fold;
+bucket skew (dense regions) is the risk axis — bucket ids feed a hash
+shuffle, AQE splits oversized buckets.
+
+All float math is double-precision sequential folds (F.aggregate /
+zip_with) so the DuckDB oracle (list_transform + list_sum over the same
+order) reproduces results bit-for-bit; outputs round to 6 decimals and
+rank with explicit id tie-breaks to stay hash-comparable.
+
+Hyperplane weights are md5-derived (no RNG): w(p,d) =
+(shared_hash('plane-p-d') mod 2001 − 1000)/1000 — regenerable by tests,
+Spark, and the SQL oracle alike.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from moonlink_spark.functions.hashing import HEX_CHARS
+
+
+def plane_weights(n_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic hyperplane weights in [-1, 1] (md5-derived)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dims):
+            h = int(
+                hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:HEX_CHARS], 16
+            )
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    The query side is broadcast (small); candidates stream map-side; the
+    only shuffle is the per-query top-k window. Ranking uses the rounded
+    cosine with neighbor-id tie-break — deterministic and oracle-safe."""
+    q = F.broadcast(
+        df.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 12,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit p = [dot(v, plane_p) ≥ 0].
+
+    Each plane is an array *literal*, so the dot is a sequential zip_with
+    fold — no shuffle at all for bucketing (map-only), and bit-identical to
+    the SQL oracle's list_transform fold."""
+    planes = plane_weights(n_planes, dims)
+    bucket = None
+    for p, wts in enumerate(planes):
+        lit = F.array(*[F.lit(w) for w in wts])
+        bit = F.when(_dot(F.col(vec_col), lit) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact cosine rerank restricted to the query's LSH bucket.
+
+    The scale path: candidates shrink ~2^planes-fold vs brute force; recall
+    is tunable by n_planes (fewer planes → bigger buckets → higher recall).
+    Same output schema as cosine_topk, so callers can A/B the two."""
+    bucketed = lsh_buckets(df, n_planes=n_planes, dims=dims, id_col=id_col, vec_col=vec_col)
+    q = F.broadcast(
+        bucketed.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("bucket")
+    )
+    joined = q.join(c, F.col("qbucket") == F.col("bucket")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,107 @@
+"""Benchmark: maintenance-engine throughput + pipeline op latency.
+
+Headline metric (BASELINE.json): compaction + Z-order clustering throughput
+over an image+caption table with an 80%-small-files layout — reported as
+GB/s and images/sec — plus the training-data pipeline ops at the same sf.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_N_IMAGES     (default 400_000 * sf).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_images = int(os.environ.get("BENCH_N_IMAGES", str(max(2000, int(400_000 * sf)))))
+    n_changes = n_images // 5
+
+    from moonlink_spark.operators.clustering import cluster
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+    from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.session import get_spark
+    from moonlink_spark.sources.fixtures import create_images_table, generate_changes_df
+
+    spark = get_spark("bench", cores=cpus)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    root = os.path.join("/tmp", "moonlink_bench_tbl")
+    shutil.rmtree(root, ignore_errors=True)
+
+    # ---- setup (not a headline query, reported separately) -----------------
+    t0 = time.time()
+    table = create_images_table(spark, root, n_images, seed=42)
+    extras["setup_ingest_sec"] = round(time.time() - t0, 3)
+    live_bytes = sum(f.file_size_bytes for f in table.data_files())
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- headline: merge -> compact -> cluster -----------------------------
+    changes = generate_changes_df(spark, n_images, n_changes, seed=42)
+    timed("merge_cdc", lambda: merge_into(table, changes, run_id="bm1"))
+    timed("compact", lambda: compact(
+        table, CompactionConfig(mode="force_full"), run_id="bc1"))
+    timed("cluster_zorder", lambda: cluster(
+        table, by=["phash", "w", "h"], curve="zorder", run_id="bz1"))
+    timed("expire_sweep", lambda: (
+        expire_snapshots(table, retain_last=1), sweep_orphans(table, quarantine=False)))
+    rows_final = table.scan().count()
+
+    maint_sec = timings["compact"] + timings["cluster_zorder"]
+    extras["maint_gb_per_s"] = round(2 * live_bytes / max(maint_sec, 1e-9) / 1e9, 4)
+    extras["maint_images_per_s"] = round(2 * rows_final / max(maint_sec, 1e-9), 1)
+    extras["table_gb"] = round(live_bytes / 1e9, 4)
+    extras["n_images"] = n_images
+
+    # ---- pipeline ops over driver testdata ---------------------------------
+    from moonlink_spark.pipeline.dedup import exact_dedup, minhash_lsh_pairs, simhash
+    from moonlink_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+    from moonlink_spark.pipeline.text import quality_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timed("dedup_exact", lambda: exact_dedup(docs).count())
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(
+        docs, num_perms=16, bands=8, threshold=0.05, k=3).count())
+    timed("dedup_simhash", lambda: simhash(docs).count())
+    timed("embed_cosine_topk", lambda: cosine_topk(emb, list(range(8)), k=5).count())
+    timed("embed_lsh_ann", lambda: lsh_ann_topk(emb, list(range(8)), k=5, n_planes=8).count())
+    timed("text_quality", lambda: quality_score(docs).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "maintenance+pipeline wall time (headline: compact+zorder GB/s)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -247,7 +247,13 @@ def cluster(
             )
 
     victim_set = set(plan.victims)
-    survivors = [f for f in table.data_files() if norm_path(f.file_path) not in victim_set]
+    out_set = {norm_path(f.file_path) for f in new_files}
+    survivors = [
+        f
+        for f in table.data_files()
+        if norm_path(f.file_path) not in victim_set
+        and norm_path(f.file_path) not in out_set
+    ]
     sid = table.commit_snapshot(
         "cluster",
         survivors + new_files,

@@ -202,8 +202,16 @@ def compact(
         for files in pool.map(_compact_group, enumerate(plan.groups)):
             new_files.extend(files)
 
-    # mark provenance: these are compacted (cold, zstd) files
-    survivors = [f for f in table.data_files() if norm_path(f.file_path) not in victim_set]
+    # survivors = current files that are neither victims nor this run's own
+    # outputs (a re-run of a completed run_id reconstructs new_files from
+    # lineage — without the second exclusion they'd be double-committed)
+    out_set = {norm_path(f.file_path) for f in new_files}
+    survivors = [
+        f
+        for f in table.data_files()
+        if norm_path(f.file_path) not in victim_set
+        and norm_path(f.file_path) not in out_set
+    ]
 
     # rewrite the surviving delete set: victims' deletes die with the victims
     new_delete_entries: list = []

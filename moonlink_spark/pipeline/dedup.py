@@ -73,6 +73,10 @@ def jaccard_pairs(
     (AQE skew split on). Full-pair form: use only on bounded inputs or as
     the LSH verification kernel."""
     sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    return _jaccard_from_shingles(sh, threshold)
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -100,12 +104,23 @@ def jaccard_pairs(
     return out
 
 
-def _perms_df(spark, num_perms: int) -> DataFrame:
-    rows = [
-        (i, perm_coeff("a", i, MERSENNE_31), perm_coeff("b", i, MERSENNE_31))
-        for i in range(num_perms)
-    ]
-    return spark.createDataFrame(rows, "perm int, a long, b long")
+def _minhash_wide(
+    sh: DataFrame, num_perms: int
+) -> DataFrame:
+    """Wide MinHash: (id, mh0..mh{K-1}) in ONE shuffle — the per-perm minima
+    are K independent map-side-combined aggregates over the exploded
+    shingles, not a perm cross-join (K× row blowup) plus a (id, perm)
+    shuffle. h' = shared_hash(shingle) mod P; perm_i = (a_i·h' + b_i) mod P,
+    P = 2^31−1 so every intermediate fits int64 exactly in both engines."""
+    hp = (hex_int(F.col("shingle")) % F.lit(MERSENNE_31)).alias("hp")
+    aggs = []
+    for i in range(num_perms):
+        a = perm_coeff("a", i, MERSENNE_31)
+        b = perm_coeff("b", i, MERSENNE_31)
+        aggs.append(
+            F.min((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{i}")
+        )
+    return sh.select("id", hp).groupBy("id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -115,22 +130,13 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signatures in long form: (id, perm, minhash).
-
-    h' = shared_hash(shingle) mod P; perm_i = (a_i·h' + b_i) mod P, P=2^31−1
-    (universal hashing; all intermediates < 2^62 so Spark and DuckDB agree
-    exactly). One explode + one broadcast cross-join with the (small) perm
-    table + one groupBy(id, perm) min — the groupBy is the only shuffle and
-    is map-side combined."""
-    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    perms = F.broadcast(_perms_df(df.sparkSession, num_perms))
-    hp = hex_int(F.col("shingle")) % F.lit(MERSENNE_31)
-    return (
-        sh.select("id", hp.alias("hp"))
-        .crossJoin(perms)
-        .groupBy("id", "perm")
-        .agg(F.min((F.col("a") * F.col("hp") + F.col("b")) % F.lit(MERSENNE_31)).alias("minhash"))
-    )
+    """MinHash signatures in long form (id, perm, minhash) — unpivoted from
+    the single-shuffle wide aggregation."""
+    wide = _minhash_wide(word_shingles(df, k=k, text_col=text_col, id_col=id_col), num_perms)
+    stack_args = ", ".join(f"{i}, mh{i}" for i in range(num_perms))
+    return wide.selectExpr(
+        "id", f"stack({num_perms}, {stack_args}) AS (perm, minhash)"
+    ).select("id", F.col("perm").cast("int"), F.col("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -144,40 +150,42 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
-    Band signature = shared_hash of the comma-joined minima of that band
-    (ordered by perm — order made explicit so the result is deterministic);
-    candidates = docs sharing any (band, signature) bucket; final pairs are
-    verified with exact shingle Jaccard ≥ threshold, so false positives
-    cost extra compute but never wrong output."""
+    Band signature = shared_hash of the comma-joined minima of the band
+    (plain column concat off the wide signature row — zero extra shuffle);
+    candidates = docs sharing any (band, signature) bucket (one hash join);
+    final pairs are verified with exact shingle Jaccard ≥ threshold over
+    the candidate subset, so LSH false positives cost compute, never
+    wrong output. Hot buckets (boilerplate) are the skew axis — AQE
+    skew-join splits them."""
     rows_per_band = num_perms // bands
-    sigs = minhash_signatures(df, num_perms=num_perms, k=k, text_col=text_col, id_col=id_col)
-    banded = (
-        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
-        .withColumn("bucket", hex_int(F.concat_ws("|", F.col("band").cast("string"), F.col("band_sig"))))
-    )
-    l = banded.alias("l")
-    r = banded.alias("r")
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    sh.cache()
+    wide = _minhash_wide(sh, num_perms)
+
+    # all B bucket ids in ONE pass over the wide row (explode, not a B-way
+    # union — a union would recompute the aggregation per band)
+    bucket_exprs = []
+    for band in range(bands):
+        cols = [f"mh{i}" for i in range(band * rows_per_band, (band + 1) * rows_per_band)]
+        sig = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        bucket_exprs.append(hex_int(F.concat_ws("|", F.lit(str(band)), sig)))
+    buckets = wide.select("id", F.explode(F.array(*bucket_exprs)).alias("bucket"))
+
+    l = buckets.alias("l")
+    r = buckets.alias("r")
     candidates = (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
         .distinct()
     )
-    # verification kernel: exact jaccard restricted to candidate docs
+
+    # verification kernel: exact jaccard over the cached shingles, restricted
+    # to candidate docs (semi-join) — shingles are NOT recomputed
     cand_ids = candidates.select(F.col("doc_a").alias("id")).union(
         candidates.select(F.col("doc_b").alias("id"))
     ).distinct()
-    sub = df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
-    verified = jaccard_pairs(sub, k=k, threshold=threshold, text_col=text_col, id_col=id_col)
+    sub = sh.join(cand_ids, "id", "left_semi")
+    verified = _jaccard_from_shingles(sub, threshold)
     return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 

@@ -1,0 +1,152 @@
+"""Pipeline-operator tests: planted duplicates must be found, similar docs
+must hash close, decode must invert encode (SURVEY.md §5 model: golden
+scenario tests per operator)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from moonlink_spark.pipeline.similarity import cosine_topk, lsh_ann_topk, lsh_buckets
+from moonlink_spark.pipeline.text import lang_id, quality_score, token_stats
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    near = "the quick brown fox jumps over the lazy cat near the old stone bridge"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0 (1 word changed)
+        (3, "completely different words about spark shuffle partitions and skew"),
+        (4, "another unrelated document discussing parquet footers and manifests"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark)).orderBy("keeper_id").collect()
+    groups = {r["keeper_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+def test_jaccard_finds_near_dup(spark):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             jaccard_pairs(_docs(spark), k=3, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(_docs(spark), num_perms=16, bands=8,
+                               threshold=0.3, k=3).collect()}
+    assert (0, 1) in pairs and (1, 2) in pairs and (0, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = minhash_signatures(_docs(spark), num_perms=8, k=3).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["id"], {})[r["perm"]] = r["minhash"]
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[0] != by_doc[3]
+
+
+def test_simhash_hamming_locality(spark):
+    out = {r["id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 60) - 1)).count("1")
+
+    assert ham(out[0], out[1]) == 0          # identical docs
+    assert ham(out[0], out[2]) < ham(out[0], out[3])  # near-dup closer than unrelated
+
+
+def _vectors(spark, n=60, dims=16, seed=7):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    for i in range(n):
+        v = rng.normal(size=dims)
+        rows.append((i, [float(x) for x in v]))
+    # vector n is a tiny perturbation of vector 0 -> must be its top neighbor
+    v0 = np.array(rows[0][1])
+    rows.append((n, [float(x) for x in (v0 + 0.001 * rng.normal(size=dims))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_finds_planted_neighbor(spark):
+    df = _vectors(spark)
+    top = cosine_topk(df, [0], k=3).orderBy("rank").collect()
+    assert top[0]["neighbor_id"] == 60 and top[0]["cos"] > 0.999
+
+
+def test_lsh_bucket_collision_for_near_identical(spark):
+    df = _vectors(spark)
+    b = {r["vec_id"]: r["bucket"] for r in
+         lsh_buckets(df, n_planes=8, dims=16).collect()}
+    assert b[0] == b[60]  # near-identical vectors share every hyperplane side
+
+
+def test_lsh_ann_recovers_planted_neighbor(spark):
+    df = _vectors(spark)
+    top = lsh_ann_topk(df, [0], k=3, n_planes=8, dims=16).orderBy("rank").collect()
+    assert top and top[0]["neighbor_id"] == 60
+
+
+def test_text_ops_shapes(spark):
+    docs = _docs(spark)
+    ts = token_stats(docs).collect()
+    assert all(r["ws_tokens"] > 0 and r["re_tokens"] >= r["ws_tokens"] - 1 for r in ts)
+    q = quality_score(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+    li = lang_id(docs).collect()
+    assert all(r["pred_lang"] == "en" for r in li)  # 'the' markers dominate
+
+
+def test_decode_roundtrip_invariants(spark):
+    from moonlink_spark.pipeline.multimodal import decode_stats, resize_images
+    from moonlink_spark.sources.fixtures import generate_images_df
+
+    imgs = generate_images_df(spark, 50, seed=42)
+    stats = decode_stats(imgs).join(imgs.select("image_id", "w", "h", "phash"), "image_id")
+    rows = stats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["dec_w"] == r["w"] and r["dec_h"] == r["h"]
+        # phash from decoded pixels matches stored phash for lossless rows;
+        # lossy rows may flip a few of the 64 bits (quantization)
+    # fixtures overwrite the TOP 16 phash bits with hot prefixes for ~20% of
+    # rows (skew driver) — the low 48 bits always come from the pixels
+    mask = (1 << 48) - 1
+    lossless = decode_stats(imgs.filter(F.col("fmt") == "png")).join(
+        imgs.select("image_id", "phash"), "image_id").collect()
+    assert all((r["dec_phash"] & mask) == (r["phash"] & mask) for r in lossless)
+
+    resized = resize_images(imgs, 8, 8).collect()
+    assert all(r["w"] == 8 and r["h"] == 8 for r in resized)
+    from moonlink_spark.functions.image import decode_image
+    px = decode_image(bytes(resized[0]["bytes"]))
+    assert px.shape == (8, 8, 3)
+
+
+def test_multimodal_stubs_raise(spark):
+    from moonlink_spark.pipeline.multimodal import (
+        extract_audio_features,
+        sample_video_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(None)
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(None)

@@ -1,0 +1,84 @@
+"""Curve-kernel unit tests: Morton golden values, Hilbert bijectivity +
+adjacency, normalization round-trip (SURVEY.md §5 translation: operator
+unit tests with golden checks)."""
+
+import numpy as np
+
+from moonlink_spark.functions.zorder import (
+    curve_key,
+    hilbert_index,
+    interleave_bits,
+    normalize_to_bits,
+)
+
+
+def test_morton_golden():
+    # bit b of dim d -> bit b*ndims+d
+    x = np.array([0b11, 0b00, 0b01], dtype=np.uint64)
+    y = np.array([0b00, 0b11, 0b10], dtype=np.uint64)
+    out = interleave_bits([x, y], bits=2)
+    # (x=3,y=0) -> bits x0,y0,x1,y1 = 1,0,1,0 -> 0b0101 = 5
+    # (x=0,y=3) -> 0b1010 = 10 ; (x=1,y=2) -> x0=1,y0=0,x1=0,y1=1 -> 0b1001=9
+    assert out.tolist() == [5, 10, 9]
+
+
+def test_morton_3d_golden():
+    x = np.array([1], dtype=np.uint64)
+    y = np.array([1], dtype=np.uint64)
+    z = np.array([1], dtype=np.uint64)
+    assert interleave_bits([x, y, z], bits=1).tolist() == [7]
+
+
+def test_normalize_roundtrip_exact():
+    # integers at exact power-of-two bounds must round-trip exactly
+    x = np.arange(0, 65536, 97, dtype=np.int64)
+    out = normalize_to_bits(x, 0.0, 65535.0, bits=16)
+    assert np.array_equal(out, x.astype(np.uint64))
+
+
+def test_hilbert_bijective_2d():
+    bits = 3
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.uint64), np.arange(n, dtype=np.uint64))
+    idx = hilbert_index([xs.ravel(), ys.ravel()], bits=bits)
+    assert sorted(idx.tolist()) == list(range(n * n))
+
+
+def test_hilbert_adjacency_2d():
+    """Consecutive Hilbert indices must be grid neighbors (the defining
+    locality property a Z-order curve lacks)."""
+    bits = 3
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.uint64), np.arange(n, dtype=np.uint64))
+    fx, fy = xs.ravel(), ys.ravel()
+    idx = hilbert_index([fx, fy], bits=bits)
+    order = np.argsort(idx)
+    dx = np.abs(np.diff(fx[order].astype(np.int64)))
+    dy = np.abs(np.diff(fy[order].astype(np.int64)))
+    assert np.all(dx + dy == 1)
+
+
+def test_hilbert_bijective_3d():
+    bits = 2
+    n = 1 << bits
+    g = np.arange(n, dtype=np.uint64)
+    xs, ys, zs = np.meshgrid(g, g, g)
+    idx = hilbert_index([xs.ravel(), ys.ravel(), zs.ravel()], bits=bits)
+    assert sorted(idx.tolist()) == list(range(n ** 3))
+    # adjacency in 3D as well
+    fx, fy, fz = xs.ravel(), ys.ravel(), zs.ravel()
+    order = np.argsort(idx)
+    d = (
+        np.abs(np.diff(fx[order].astype(np.int64)))
+        + np.abs(np.diff(fy[order].astype(np.int64)))
+        + np.abs(np.diff(fz[order].astype(np.int64)))
+    )
+    assert np.all(d == 1)
+
+
+def test_curve_key_dispatch():
+    arrays = [np.array([1.0, 2.0]), np.array([3.0, 4.0])]
+    bounds = [(0.0, 10.0), (0.0, 10.0)]
+    z = curve_key(arrays, bounds, curve="zorder", bits=8)
+    h = curve_key(arrays, bounds, curve="hilbert", bits=8)
+    assert z.dtype == np.int64 and h.dtype == np.int64 and len(z) == len(h) == 2

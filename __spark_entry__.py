@@ -435,6 +435,35 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(spark.table("embeddings"), _COS_QUERY_IDS, k=5, n_planes=_LSH_PLANES)
 
 
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.similarity import embedding_near_dups
+
+    _load_views(spark, sf_dir)
+    return embedding_near_dups(spark.table("embeddings"), threshold=0.4)
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped tumbling-window aggregation (the Structured
+    Streaming readStream->window->agg plan, run in batch mode so the oracle
+    can check it): 15-min windows per event_type; value summed in exact
+    integer cents so the hash compare is FP-order-proof."""
+    from pyspark.sql import functions as F
+
+    _load_views(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes").start.alias("win_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select("win_start", "event_type", "n_events", "value_cents")
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.pipeline.text import token_stats
 
@@ -635,6 +664,17 @@ ranked AS (
 SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5""",
         "embed_lsh_buckets": f"""
 SELECT vec_id, ({bucket_expr}) AS bucket FROM embeddings""",
+        "embed_near_dups": f"""
+WITH pairs AS (
+  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+         round({dot} / ({norm('q')} * {norm('c')}), 6) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id)
+SELECT DISTINCT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""",
+        "events_window_agg": """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2""",
         "embed_lsh_ann": f"""
 WITH bucketed AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings),
 scored AS (
@@ -709,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_lsh_ann": q_embed_lsh_ann,
+        "embed_near_dups": q_embed_near_dups,
+        "events_window_agg": q_events_window_agg,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

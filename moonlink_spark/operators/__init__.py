@@ -1,3 +1,4 @@
+from moonlink_spark.operators.alter import alter_table
 from moonlink_spark.operators.merge import merge_into
 from moonlink_spark.operators.compaction import CompactionConfig, compact, plan_compaction
 from moonlink_spark.operators.clustering import cluster
@@ -6,6 +7,7 @@ from moonlink_spark.operators.manifest_rewrite import rewrite_manifests
 from moonlink_spark.operators.optimize import optimize
 
 __all__ = [
+    "alter_table",
     "merge_into",
     "CompactionConfig",
     "compact",

@@ -246,6 +246,20 @@ def cluster(
                 )
             )
 
+    # per-run lineage metrics (files-in/out, bytes, rows; per-bin detail
+    # lives in the bin-*.json records written by write_datafiles)
+    in_files = [f for f in table.data_files() if norm_path(f.file_path) in set(plan.victims)]
+    with open(os.path.join(lineage_dir, "metrics.json"), "w") as fh:
+        json.dump({
+            "files_in": plan.victims,
+            "files_out": [f.file_path for f in new_files],
+            "bytes_in": sum(f.file_size_bytes for f in in_files),
+            "bytes_out": sum(f.file_size_bytes for f in new_files),
+            "rows_in": sum(f.record_count for f in in_files),
+            "rows_out": sum(f.record_count for f in new_files),
+            "salts": plan.salts,
+        }, fh)
+
     victim_set = set(plan.victims)
     out_set = {norm_path(f.file_path) for f in new_files}
     survivors = [

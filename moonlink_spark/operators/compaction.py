@@ -198,9 +198,29 @@ def compact(
         )
 
     new_files: list[DataFile] = []
+    group_outputs: list[list[DataFile]] = []
     with ThreadPoolExecutor(max_workers=max_concurrent_groups) as pool:
         for files in pool.map(_compact_group, enumerate(plan.groups)):
+            group_outputs.append(files)
             new_files.extend(files)
+
+    # per-partition lineage metrics (north rule: files-in/files-out, bytes,
+    # row counts per partition so a killed run resumes + is auditable)
+    by_path = {norm_path(f.file_path): f for f in table.data_files()}
+    metrics = []
+    for gi, (group, outs) in enumerate(zip(plan.groups, group_outputs)):
+        ins = [by_path[p] for p in group if p in by_path]
+        metrics.append({
+            "bin": gi,
+            "files_in": group,
+            "files_out": [f.file_path for f in outs],
+            "bytes_in": sum(f.file_size_bytes for f in ins),
+            "bytes_out": sum(f.file_size_bytes for f in outs),
+            "rows_in": sum(f.record_count for f in ins),
+            "rows_out": sum(f.record_count for f in outs),
+        })
+    with open(os.path.join(lineage_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f)
 
     # survivors = current files that are neither victims nor this run's own
     # outputs (a re-run of a completed run_id reconstructs new_files from

@@ -110,6 +110,47 @@ def lsh_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs: (a, b, cos) with cosine ≥ threshold.
+
+    n_planes=0 → brute-force all-pairs (the small-N / verification kernel).
+    n_planes>0 → pairs restricted to one shared LSH bucket — the scale path:
+    the self-join shuffles on the bucket id instead of exploding N², at the
+    cost of LSH recall (near-identical vectors share every hyperplane side,
+    so true duplicates are retained with probability → 1 as cos → 1)."""
+    if n_planes > 0:
+        base = lsh_buckets(df, n_planes=n_planes, dims=dims, id_col=id_col, vec_col=vec_col)
+        join_cond = lambda l, r: (F.col("l.bucket") == F.col("r.bucket")) & (  # noqa: E731
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        )
+    else:
+        base = df.select(id_col, vec_col)
+        join_cond = lambda l, r: F.col(f"l.{id_col}") < F.col(f"r.{id_col}")  # noqa: E731
+    l, r = base.alias("l"), base.alias("r")
+    joined = l.join(r, join_cond(l, r))
+    cos = F.round(
+        _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+        / (_norm(F.col(f"l.{vec_col}")) * _norm(F.col(f"r.{vec_col}"))),
+        6,
+    )
+    return (
+        joined.select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_ids: list[int],

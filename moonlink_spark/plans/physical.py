@@ -9,11 +9,13 @@ Design notes (Spark-first, scale-first):
   (hash partitioning of a single int is deterministic), so output file names
   can be derived from the bin id — no committer rename dance, and a killed
   run resumes at bin granularity.
-- Each task streams its Arrow batches straight into a pyarrow ParquetWriter
-  (C++, zero row-at-a-time Python), accumulating per-column min/max/null
-  stats in the same pass — the analog of moonlink computing Iceberg Datum
-  stats from parquet footers (reference: parquet_stats_utils.rs:34-120)
-  without a second read.
+- The write stage is ``mapInArrow``: each task streams its Arrow record
+  batches straight into a pyarrow ParquetWriter (C++), with per-column
+  min/max/null stats accumulated by ``pyarrow.compute.min_max`` in the same
+  pass — the analog of moonlink computing Iceberg Datum stats from parquet
+  footers (reference: parquet_stats_utils.rs:34-120) without a second read.
+  Binary image payloads never materialize as Python objects: bytes stay in
+  Arrow buffers from the shuffle fetch to the parquet encoder.
 - A bin whose lineage record already exists (same run_id) is skipped: writes
   are idempotent at partition granularity (reference intent: WAL replay,
   wal.rs:1117-1334).
@@ -64,29 +66,9 @@ def _json_safe(v):
         pass
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
     return str(v)
-
-
-def _update_stats(stats: dict, pdf: pd.DataFrame, statless: set[str]) -> None:
-    for col in pdf.columns:
-        s = pdf[col]
-        st = stats.setdefault(col, {"min": None, "max": None, "null_count": 0})
-        n_null = int(s.isna().sum())
-        st["null_count"] += n_null
-        if col in statless:
-            continue
-        nn = s.dropna()
-        if len(nn) == 0:
-            continue
-        try:
-            mn, mx = nn.min(), nn.max()
-        except TypeError:
-            continue
-        mn, mx = _json_safe(mn), _json_safe(mx)
-        if st["min"] is None or (mn is not None and mn < st["min"]):
-            st["min"] = mn
-        if st["max"] is None or (mx is not None and mx > st["max"]):
-            st["max"] = mx
 
 
 def write_datafiles(
@@ -106,14 +88,13 @@ def write_datafiles(
 
     Skips bins already recorded under *lineage_dir* (idempotent resume).
     """
+    import pyspark.sql.types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
     # internal planner columns (underscore-prefixed: _bin, _zkey, ...) are
     # shuffle/sort keys only — never written to the output files
     payload_fields = [f for f in df.schema.fields if not f.name.startswith("_")]
     statless = {f.name for f in payload_fields if f.dataType.typeName() in _STATLESS_TYPES}
-    import pyspark.sql.types as T
-
     arrow_schema = to_arrow_schema(T.StructType(payload_fields))
     payload_cols = [f.name for f in payload_fields]
 
@@ -124,8 +105,10 @@ def write_datafiles(
     if sort_within:
         part = part.sortWithinPartitions("_bin", *sort_within)
 
-    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _write(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         writers: dict[int, pq.ParquetWriter] = {}
@@ -139,38 +122,60 @@ def write_datafiles(
                 return None
             return os.path.join(lineage_dir, f"bin-{b:05d}.json")
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            for b, grp in pdf.groupby("_bin", sort=True):
-                b = int(b)
-                if b in skipped:
+        def _update_stats(st_all: dict, rb: pa.RecordBatch) -> None:
+            for name, col in zip(rb.schema.names, rb.columns):
+                st = st_all.setdefault(name, {"min": None, "max": None, "null_count": 0})
+                st["null_count"] += col.null_count
+                if name in statless or col.null_count == len(col) or len(col) == 0:
                     continue
-                if b not in writers:
-                    lp = _lineage_path(b)
-                    if lp is not None and os.path.exists(lp):
-                        with open(lp) as f:
-                            skipped[b] = json.load(f)
-                        continue
-                    final = os.path.join(
-                        data_dir, f"{file_prefix}{run_id}-b{b:05d}.parquet"
-                    )
-                    paths[b] = final
-                    writers[b] = pq.ParquetWriter(
-                        final + ".inprogress",
-                        arrow_schema,
-                        compression=compression,
-                        compression_level=compression_level,
-                    )
-                    counts[b] = 0
-                    stats[b] = {}
-                payload = grp[payload_cols]
-                table = pa.Table.from_pandas(
-                    payload, schema=arrow_schema, preserve_index=False
+                try:
+                    mm = pc.min_max(col)
+                except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                    continue
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                if mn is not None and (st["min"] is None or mn < st["min"]):
+                    st["min"] = mn
+                if mx is not None and (st["max"] is None or mx > st["max"]):
+                    st["max"] = mx
+
+        def _emit(rb: pa.RecordBatch, b: int) -> None:
+            if b in skipped:
+                return
+            if b not in writers:
+                lp = _lineage_path(b)
+                if lp is not None and os.path.exists(lp):
+                    with open(lp) as f:
+                        skipped[b] = json.load(f)
+                    return
+                final = os.path.join(data_dir, f"{file_prefix}{run_id}-b{b:05d}.parquet")
+                paths[b] = final
+                writers[b] = pq.ParquetWriter(
+                    final + ".inprogress",
+                    arrow_schema,
+                    compression=compression,
+                    compression_level=compression_level,
                 )
-                writers[b].write_table(table)
-                counts[b] += len(payload)
-                _update_stats(stats[b], payload, statless)
+                counts[b] = 0
+                stats[b] = {}
+            writers[b].write_batch(rb)
+            counts[b] += len(rb)
+            _update_stats(stats[b], rb)
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            bin_idx = batch.schema.get_field_index("_bin")
+            binvals = batch.column(bin_idx).to_numpy(zero_copy_only=False)
+            payload = batch.select(payload_cols)
+            if payload.schema != arrow_schema:
+                payload = payload.cast(arrow_schema)
+            uniq = np.unique(binvals)
+            if len(uniq) == 1:
+                _emit(payload, int(uniq[0]))
+            else:
+                for b in uniq:
+                    mask = pa.array(binvals == b)
+                    _emit(payload.filter(mask), int(b))
 
         rows = []
         for b, w in writers.items():
@@ -178,12 +183,20 @@ def write_datafiles(
             final = paths[b]
             os.rename(final + ".inprogress", final)
             size = os.path.getsize(final)
+            clean = {
+                c: {
+                    "min": _json_safe(s["min"]),
+                    "max": _json_safe(s["max"]),
+                    "null_count": s["null_count"],
+                }
+                for c, s in stats[b].items()
+            }
             rec = {
                 "bin": b,
                 "file_path": final,
                 "record_count": counts[b],
                 "file_size_bytes": size,
-                "stats": json.dumps(stats[b]),
+                "stats": json.dumps(clean),
             }
             lp = _lineage_path(b)
             if lp is not None:
@@ -195,9 +208,27 @@ def write_datafiles(
         rows.extend(skipped.values())
         if not rows:
             return
-        yield pd.DataFrame(rows, columns=["bin", "file_path", "record_count", "file_size_bytes", "stats"])
+        out_schema = pa.schema(
+            [
+                ("bin", pa.int32()),
+                ("file_path", pa.string()),
+                ("record_count", pa.int64()),
+                ("file_size_bytes", pa.int64()),
+                ("stats", pa.string()),
+            ]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([int(r["bin"]) for r in rows], pa.int32()),
+                pa.array([r["file_path"] for r in rows], pa.string()),
+                pa.array([int(r["record_count"]) for r in rows], pa.int64()),
+                pa.array([int(r["file_size_bytes"]) for r in rows], pa.int64()),
+                pa.array([r["stats"] for r in rows], pa.string()),
+            ],
+            schema=out_schema,
+        )
 
-    lineage_rows = part.mapInPandas(_write, schema=LINEAGE_SCHEMA).collect()
+    lineage_rows = part.mapInArrow(_write, schema=LINEAGE_SCHEMA).collect()
     out = [
         DataFile(
             file_path=r["file_path"],

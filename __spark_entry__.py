@@ -124,12 +124,14 @@ FROM orders WHERE o_orderkey % 10 = 4"""
 _NO_BYTES = "image_id, w, h, fmt, caption, phash"
 
 
-def _lww_select(d: str, cols: str = _NO_BYTES) -> str:
+def _lww_select(d: str, cols: str = _NO_BYTES, lsn_lt: int | None = None) -> str:
     """Last-writer-wins final state of images ⊕ changes (merge.py semantics:
-    max lsn wins; on a tie the non-delete row wins; D rows vanish)."""
+    max lsn wins; on a tie the non-delete row wins; D rows vanish).
+    *lsn_lt* restricts the change batch to lsn < cut (read-at-LSN oracle)."""
+    cut = f"\nSELECT * FROM (  {_changes_select(d)}\n) WHERE lsn < {lsn_lt}" if lsn_lt else _changes_select(d)
     return f"""
 WITH images AS ({_images_select(d)}),
-changes AS ({_changes_select(d)}),
+changes AS ({cut}),
 allr AS (
   SELECT image_id, bytes, w, h, fmt, caption, phash, 'I' AS op, CAST(0 AS BIGINT) AS lsn FROM images
   UNION ALL
@@ -364,6 +366,53 @@ WITH dims AS (
 SELECT l_orderkey, l_linenumber, x, y, z, CAST({zk} AS BIGINT) AS zkey FROM dims"""
 
 
+_LSN_CUT = 3_000_000
+
+
+def q_read_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 26 (read_state_manager.rs): apply the CDC batch in two merges
+    split at an LSN watershed, then scan AT the watershed — the read must
+    see exactly merge #1's state regardless of later commits."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "read_at_lsn")
+    changes = _changes_df(spark, sf_dir)
+    merge_into(t, changes.filter(F.col("lsn") < _LSN_CUT), run_id="m1")
+    merge_into(t, changes.filter(F.col("lsn") >= _LSN_CUT), run_id="m2")
+    return t.scan_at_lsn(_LSN_CUT - 1, columns=_NO_BYTES.split(", "))
+
+
+def q_optimize_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 23 (optimize_table API, moonlink_backend/src/lib.rs:357-372):
+    best-effort mode compacts ≥16 qualifying small files; the row set is
+    untouched."""
+    from moonlink_spark.operators.optimize import optimize
+
+    t = _make_table(spark, sf_dir, "optimize_data", rows_per_file=512)
+    sid = optimize(t, mode="data", run_id="o1")
+    assert sid is not None, "best-effort compaction should trigger on 80% small files"
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_alter_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 32 (AlterTableRequest, mooncake_table.rs:616-651): metadata-only
+    add/drop column; pre-existing files read the added column as NULL and
+    the dropped column is pruned at scan time — no data rewrite."""
+    import pyspark.sql.types as T
+
+    from moonlink_spark.operators.alter import alter_table
+
+    t = _make_table(spark, sf_dir, "alter_evolve")
+    alter_table(
+        t,
+        add_columns=[T.StructField("score", T.IntegerType(), True)],
+        drop_columns=["fmt"],
+    )
+    return t.scan(columns=["image_id", "w", "h", "caption", "phash", "score"])
+
+
 # ---------------------------------------------------------- pipeline queries
 
 _SHINGLE_K = 3
@@ -433,6 +482,20 @@ def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load_views(spark, sf_dir)
     return lsh_ann_topk(spark.table("embeddings"), _COS_QUERY_IDS, k=5, n_planes=_LSH_PLANES)
+
+
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+
+def q_embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonlink_spark.pipeline.similarity import ivf_ann_topk
+
+    _load_views(spark, sf_dir)
+    return ivf_ann_topk(
+        spark.table("embeddings"), _COS_QUERY_IDS, k=5,
+        n_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
+    )
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +727,43 @@ ranked AS (
 SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5""",
         "embed_lsh_buckets": f"""
 SELECT vec_id, ({bucket_expr}) AS bucket FROM embeddings""",
+        "embed_ivf_ann": f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
+adot AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE * c.cemb[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> c.cemb[i]::DOUBLE * c.cemb[i]::DOUBLE)))), 6) AS acos_
+  FROM embeddings e CROSS JOIN cents c),
+lists AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY acos_ DESC, cid) AS rn
+    FROM adot) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY acos_ DESC, cid) AS rn
+    FROM adot WHERE vec_id IN ({qids})) WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, p.qv, l.vec_id AS neighbor_id, l.embedding AS cv
+  FROM probes p JOIN lists l USING (list_id)
+  WHERE p.query_id <> l.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))), 6) AS cos
+  FROM cand),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5""",
         "embed_near_dups": f"""
 WITH pairs AS (
   SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
@@ -740,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_stats": q_manifest_stats,
         "zorder_key_kernel": q_zorder_key_kernel,
         "hilbert_key_kernel": q_hilbert_key_kernel,
+        "read_at_lsn": q_read_at_lsn,
+        "optimize_data": q_optimize_data,
+        "alter_schema_evolution": q_alter_schema_evolution,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -749,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_lsh_ann": q_embed_lsh_ann,
+        "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dups": q_embed_near_dups,
         "events_window_agg": q_events_window_agg,
         "text_tokens": q_text_tokens,
@@ -782,6 +886,11 @@ SELECT CAST(count(*) AS BIGINT) AS record_count,
        min(caption) AS min_caption, max(caption) AS max_caption
 FROM images""",
         "zorder_key_kernel": _zorder_sql(),
+        "read_at_lsn": _lww_select(d, lsn_lt=_LSN_CUT),
+        "optimize_data": base_no_bytes,
+        "alter_schema_evolution": f"""
+WITH images AS ({_images_select(d)})
+SELECT image_id, w, h, caption, phash, CAST(NULL AS INT) AS score FROM images""",
         # hilbert_key_kernel, image_decode_stats: no SQL analog -> rows-only
     }
     # cluster queries rewrite the BASE table (no merge): oracle = base rows

@@ -97,3 +97,41 @@ def curve_key(
     if curve == "hilbert":
         return hilbert_index(normed, bits)
     raise ValueError(f"unknown curve {curve!r}")
+
+
+def zorder_key_column(cols, bounds: list[tuple[float, float]], bits: int = DEFAULT_BITS):
+    """The Z-order key as a NATIVE Spark Column — bit-for-bit identical to
+    ``curve_key(..., curve="zorder")`` but whole-stage-codegen'd JVM-side, so
+    the clustering hot path never round-trips rows through Python workers.
+
+    Exactness: ``F.bround`` is HALF_EVEN like ``np.rint``; both paths do the
+    same float64 arithmetic, so quantized cells (and therefore keys) match.
+    Hilbert has no SQL form (iterative state transform) and stays on the
+    vectorized-numpy pandas UDF.
+    """
+    from pyspark.sql import Column, functions as F
+
+    ndims = len(cols)
+    maxv = float((1 << bits) - 1)
+    qs: list[Column] = []
+    for c, (lo, hi) in zip(cols, bounds):
+        c = c if isinstance(c, Column) else F.col(c)
+        span = float(hi) - float(lo)
+        if span <= 0:
+            qs.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            F.least(
+                F.greatest((c.cast("double") - F.lit(float(lo))) / F.lit(span), F.lit(0.0)),
+                F.lit(1.0),
+            )
+            * F.lit(maxv)
+        )
+        qs.append(F.coalesce(F.bround(scaled, 0), F.lit(0.0)).cast("long"))
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, q in enumerate(qs):
+            key = key + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ndims + d
+            )
+    return key

@@ -181,23 +181,6 @@ def cluster(
     num_bins = int(plan.offsets[-1])
     curve_name, by_cols, nbits = plan.curve, plan.by, bits
 
-    @F.pandas_udf("key long, bin int")
-    def _key_and_bin(*cols: pd.Series) -> pd.DataFrame:
-        arrays = [c.to_numpy() for c in cols[:-1]]
-        keys = curve_key(arrays, bounds, curve=curve_name, bits=nbits)
-        base = np.searchsorted(boundaries, keys, side="right")
-        salt_n = salts[base]
-        # deterministic salt from the row key string (crc32: stable across
-        # processes, unlike Python's seeded str hash)
-        import zlib as _zlib
-
-        ids = cols[-1].astype(str)
-        h = np.fromiter(
-            (_zlib.crc32(x.encode()) for x in ids), dtype=np.int64, count=len(ids)
-        )
-        bins = offsets[base] + np.where(salt_n > 1, h % salt_n, 0)
-        return pd.DataFrame({"key": keys, "bin": bins.astype(np.int32)})
-
     # resume: bins already written (lineage present) are filtered out before
     # the shuffle, so a resumed run re-reads only the missing bins' rows
     done_bins = []
@@ -207,10 +190,52 @@ def cluster(
                 done_bins.append(int(name[4:-5]))
 
     df = table.scan()
-    kb = _key_and_bin(*[F.col(c) for c in by_cols], F.col(key_col))
-    df = df.withColumn("_kb", kb).select(
-        "*", F.col("_kb.key").alias("_zkey"), F.col("_kb.bin").alias("_bin")
-    ).drop("_kb")
+    if curve_name == "zorder":
+        # fully JVM-side: codegen'd bit interleave + boundary search + salt —
+        # no Python worker in the hot path ("stay JVM-side")
+        from moonlink_spark.functions.zorder import zorder_key_column
+
+        zk = zorder_key_column([F.col(c) for c in by_cols], bounds, bits=nbits)
+        df = df.withColumn("_zkey", zk)
+        if len(boundaries):
+            barr = F.array(*[F.lit(int(b)).cast("long") for b in boundaries])
+            base = F.size(F.filter(barr, lambda x: x <= F.col("_zkey")))
+        else:
+            base = F.lit(0)
+        df = df.withColumn("_base", base)
+        oarr = F.array(*[F.lit(int(o)).cast("int") for o in offsets])
+        sarr = F.array(*[F.lit(int(s)).cast("int") for s in salts])
+        off = F.element_at(oarr, F.col("_base") + 1)
+        salt_n = F.element_at(sarr, F.col("_base") + 1)
+        # deterministic salt from the row key string (crc32: stable across
+        # processes; matches zlib.crc32 over UTF-8 bytes)
+        salt = F.when(
+            salt_n > 1, F.pmod(F.crc32(F.col(key_col).cast("binary")), salt_n)
+        ).otherwise(F.lit(0))
+        df = df.withColumn("_bin", (off + salt).cast("int")).drop("_base")
+    else:
+
+        @F.pandas_udf("key long, bin int")
+        def _key_and_bin(*cols: pd.Series) -> pd.DataFrame:
+            arrays = [c.to_numpy() for c in cols[:-1]]
+            keys = curve_key(arrays, bounds, curve=curve_name, bits=nbits)
+            base = np.searchsorted(boundaries, keys, side="right")
+            salt_n = salts[base]
+            # deterministic salt from the row key string (crc32: stable
+            # across processes, unlike Python's seeded str hash)
+            import zlib as _zlib
+
+            ids = cols[-1].astype(str)
+            h = np.fromiter(
+                (_zlib.crc32(x.encode()) for x in ids), dtype=np.int64, count=len(ids)
+            )
+            bins = offsets[base] + np.where(salt_n > 1, h % salt_n, 0)
+            return pd.DataFrame({"key": keys, "bin": bins.astype(np.int32)})
+
+        kb = _key_and_bin(*[F.col(c) for c in by_cols], F.col(key_col))
+        df = df.withColumn("_kb", kb).select(
+            "*", F.col("_kb.key").alias("_zkey"), F.col("_kb.bin").alias("_bin")
+        ).drop("_kb")
     if done_bins:
         df = df.filter(~F.col("_bin").isin(done_bins))
 

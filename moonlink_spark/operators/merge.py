@@ -78,6 +78,10 @@ def merge_into(
     final.cache()
     try:
         n_final = final.count()
+        # commit LSN baseline (mooncake_table.rs:1290-1312): the snapshot's
+        # flush_lsn = highest lsn applied, consumed by read-at-LSN scans
+        max_lsn_row = final.agg(F.max("lsn").alias("mx")).first()
+        flush_lsn = int(max_lsn_row["mx"]) if max_lsn_row["mx"] is not None else 0
 
         # --- position resolution: join IS the index (hash_index.rs analog) ----
         keys_df = final.select(key)
@@ -137,6 +141,7 @@ def merge_into(
             "added-records": n_inserts,
             "added-files": len(new_data_files),
             "added-delete-files": len(new_delete_files),
+            "flush-lsn": flush_lsn,
         },
     )
     return MergeResult(

@@ -151,6 +151,93 @@ def embedding_near_dups(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: every vector is assigned to its
+    nearest-by-cosine centroid (the inverted-file "list" it lives in).
+
+    The coarse codebook is DETERMINISTIC — the n_centroids lowest-id vectors
+    act as centroids (a fixed draw, the sandbox stand-in for a k-means
+    codebook; the assignment/probe machinery is identical either way). The
+    centroid set is tiny and broadcast, so assignment is one map-side
+    cross-join + a per-vector argmax window — a single shuffle on id."""
+    cents = F.broadcast(
+        df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
+        )
+    )
+    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(cents)
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("cemb")) / (_norm(F.col(vec_col)) * _norm(F.col("cemb"))),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.select(id_col, vec_col, "cid", cos.alias("cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cid").alias("list_id"))
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the query's *nprobe* nearest inverted lists, then
+    exact-cosine rerank only their members.
+
+    The scale path for 10^12-vector corpora: candidates shrink ~N/n_centroids
+    ·nprobe-fold; the probe side is broadcast; the only big shuffle is the
+    candidate join keyed on list_id (AQE splits hot lists). Same output
+    schema as cosine_topk / lsh_ann_topk for A/B comparison."""
+    assigned = ivf_assign(df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = F.broadcast(
+        df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
+        )
+    )
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qcos = F.round(
+        _dot(F.col("qv"), F.col("cemb")) / (_norm(F.col("qv")) * _norm(F.col("cemb"))),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cid").asc())
+    probes = F.broadcast(
+        q.crossJoin(cents)
+        .select("query_id", "qv", "cid", qcos.alias("qcos"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+    cands = probes.join(assigned, "list_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col(vec_col)) / (_norm(F.col("qv")) * _norm(F.col(vec_col))), 6
+    )
+    scored = cands.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_ids: list[int],

@@ -260,6 +260,40 @@ class MoonTable:
             df = df.select(*columns)
         return df
 
+    # --------------------------------------------------------- read-at-LSN
+    def snapshot_for_lsn(self, lsn: int) -> Snapshot | None:
+        """The read-at-LSN protocol (read_state_manager.rs:59-164): return
+        the latest snapshot whose flush LSN ≤ *lsn* — a scan at LSN X sees
+        exactly the records committed at ≤ X (mooncake_table.rs:432-445).
+
+        Snapshots that don't advance the LSN (compact/cluster/append) inherit
+        their parent's flush LSN, so maintenance never changes what a given
+        LSN reads."""
+        best: Snapshot | None = None
+        eff = 0
+        for s in self.meta.snapshots:  # sequence order
+            eff = int(s.summary.get("flush-lsn", eff))
+            if eff <= lsn:
+                best = s
+        return best
+
+    def scan_at_lsn(self, lsn: int, columns: list[str] | None = None) -> DataFrame:
+        """Snapshot-isolated scan at an LSN watermark. Raises if no snapshot
+        is visible at *lsn* (moonlink would block until replication catches
+        up; in batch context that's an error)."""
+        snap = self.snapshot_for_lsn(lsn)
+        if snap is None:
+            raise ValueError(f"no snapshot visible at lsn {lsn}")
+        return self.scan(snapshot_id=snap.snapshot_id, columns=columns)
+
+    # ------------------------------------------------------------- lifecycle
+    def drop(self) -> None:
+        """Drop the table: delete data, metadata, and the table directory
+        (table_handler.rs:158-185 — drop iceberg table + WAL + local dir)."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
     # ------------------------------------------------------------- utils
     def all_reachable_paths(self) -> set[str]:
         """Every data/delete file referenced by ANY retained snapshot (used

@@ -82,3 +82,29 @@ def test_curve_key_dispatch():
     z = curve_key(arrays, bounds, curve="zorder", bits=8)
     h = curve_key(arrays, bounds, curve="hilbert", bits=8)
     assert z.dtype == np.int64 and h.dtype == np.int64 and len(z) == len(h) == 2
+
+
+def test_sql_zorder_matches_numpy(spark):
+    """The native-SQL Z-order column (clustering hot path) must be bit-exact
+    vs the numpy kernel on random inputs including nulls."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.functions.zorder import zorder_key_column
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 20000
+    x = rng.integers(-(2**40), 2**40, n).astype("float64")
+    y = rng.integers(0, 65536, n).astype("float64")
+    z = rng.integers(16, 65, n).astype("float64")
+    x[::97] = np.nan  # null dims quantize to 0 in both paths
+    bounds = [(float(np.nanmin(x)), float(np.nanmax(x))), (0.0, 65535.0), (16.0, 64.0)]
+    pdf = pd.DataFrame({"i": np.arange(n), "x": x, "y": y, "z": z})
+    df = spark.createDataFrame(pdf)
+    col = zorder_key_column([F.col("x"), F.col("y"), F.col("z")], bounds, bits=16)
+    got_rows = df.select("i", col.alias("k")).collect()
+    got = np.empty(n, dtype=np.int64)
+    for r in got_rows:
+        got[r["i"]] = r["k"]
+    want = curve_key([x, y, z], bounds, curve="zorder", bits=16)
+    assert np.array_equal(got, want)

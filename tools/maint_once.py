@@ -1,0 +1,68 @@
+"""Run ONE maintenance cycle (merge -> compact -> Z-order cluster) on a
+pre-built images table at a given parallelism level; print one JSON line.
+
+Used by bench_scaling.py: the parent restores a pristine copy of the table
+before each invocation, so every run does identical work on identical input
+— only the core count changes.
+
+Usage: python tools/maint_once.py <table_root> <changes_parquet> <cores>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    root, changes_path, cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
+
+    from moonlink_spark.operators.clustering import cluster
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.session import get_spark
+    from moonlink_spark.table import MoonTable
+
+    spark = get_spark("maint_once", cores=cores)
+    table = MoonTable.load(spark, root)
+    live = sum(f.file_size_bytes for f in table.data_files())
+    # fixed bin layout derived from input bytes, NOT core count: both
+    # parallelism levels run the identical physical plan
+    target = max(4 * 1024 * 1024, live // 128)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    changes = spark.read.parquet(changes_path)
+    timed("merge_cdc", lambda: merge_into(table, changes, run_id="sm1"))
+    timed("compact", lambda: compact(
+        table, CompactionConfig(mode="force_full", target_bytes=target),
+        run_id="sc1", max_concurrent_groups=max(4, cores // 2)))
+    timed("cluster_zorder", lambda: cluster(
+        table, by=["phash", "w", "h"], curve="zorder", run_id="sz1",
+        target_bytes=target))
+
+    rows = table.scan().count()
+    maint = timings["compact"] + timings["cluster_zorder"]
+    print(json.dumps({
+        "cores": cores,
+        "queries": timings,
+        "live_bytes": live,
+        "rows": rows,
+        "maint_sec": round(maint, 3),
+        "maint_gb_per_s": round(2 * live / max(maint, 1e-9) / 1e9, 4),
+        "maint_images_per_s": round(2 * rows / max(maint, 1e-9), 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

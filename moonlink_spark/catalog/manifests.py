@@ -60,6 +60,39 @@ def _write(metadata_dir: str, prefix: str, entries: list[dict], max_entries: int
     return out
 
 
+def incremental_reuse(
+    metadata_dir: str,
+    old_names: list[str],
+    new_files: list,
+    reader,
+) -> tuple[list[str], list]:
+    """Plan an O(delta) manifest commit: manifest chunks whose every entry is
+    unchanged and still present are REUSED by name; everything else (added
+    files + files in touched chunks) is rewritten into fresh chunks.
+
+    This is the scale property moonlink gets from its per-commit manifest
+    rewrite hooks (data_file_manifest_manager.rs:54-100): a MERGE that
+    touches 0.1% of a 10^12-row table must not rewrite metadata for the
+    other 99.9%. Returns (kept_manifest_names, residual_entries_to_write).
+    """
+    new_by_path = {f.file_path: f for f in new_files}
+    kept: list[str] = []
+    covered: set[str] = set()
+    for name in old_names:
+        entries = reader(metadata_dir, [name])
+        if not entries:
+            continue
+        reusable = all(
+            e.file_path not in covered and new_by_path.get(e.file_path) == e
+            for e in entries
+        )
+        if reusable:
+            kept.append(name)
+            covered.update(e.file_path for e in entries)
+    residual = [f for f in new_files if f.file_path not in covered]
+    return kept, residual
+
+
 def read_data_manifests(metadata_dir: str, manifest_names: list[str]) -> list[DataFile]:
     files: list[DataFile] = []
     for name in manifest_names:

@@ -73,8 +73,11 @@ class CompactionPlan:
 def select_victims(files: list[DataFile], config: CompactionConfig) -> list[DataFile]:
     """Size-tiered + delete-ratio selection (snapshot_maintenance.rs:42-145)."""
     if config.mode == "force_full":
+        # ForceFull compacts EVERYTHING: min 2 files, no size bar, any delete
+        # ratio, and no per-run batch cap (snapshot_maintenance.rs:66-67)
         eligible = list(files)
         min_files = 2
+        max_files = len(files)
     else:
         eligible = [
             f
@@ -83,12 +86,13 @@ def select_victims(files: list[DataFile], config: CompactionConfig) -> list[Data
             or (f.record_count > 0 and f.deleted_count / f.record_count >= config.delete_ratio)
         ]
         min_files = 2 if config.mode == "force_regular" else config.min_files
+        max_files = config.max_files
     if len(eligible) < min_files:
         return []
     # oldest/smallest first: stable order by (live_bytes, path) keeps the
     # selection deterministic and prefers the tiniest files
     eligible.sort(key=lambda f: (f.live_bytes, f.file_path))
-    return eligible[: config.max_files]
+    return eligible[:max_files]
 
 
 def bin_pack(victims: list[DataFile], target_bytes: int) -> list[list[str]]:

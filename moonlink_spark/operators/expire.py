@@ -97,4 +97,19 @@ def sweep_orphans(
         versions = table.catalog.metadata_versions()
         for v in versions[:-10]:
             os.unlink(os.path.join(table.catalog.metadata_dir, f"v{v}.metadata.json"))
+        # manifest GC: incremental commits share chunks across snapshots, so
+        # a chunk is garbage only when NO retained snapshot references it
+        meta = table.catalog.load()
+        referenced: set[str] = set()
+        for s in meta.snapshots:
+            referenced.update(s.manifests)
+            referenced.update(s.delete_manifests)
+        for n in os.listdir(table.catalog.metadata_dir):
+            if (
+                (n.startswith("manifest-") or n.startswith("delete-manifest-"))
+                and n.endswith(".json")
+                and n not in referenced
+            ):
+                os.unlink(os.path.join(table.catalog.metadata_dir, n))
+                acted.append(os.path.join(table.catalog.metadata_dir, n))
     return acted

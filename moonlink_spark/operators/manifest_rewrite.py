@@ -42,4 +42,7 @@ def rewrite_manifests(
             "data-files": len(files),
             "recomputed-stats": bool(recompute_stats),
         },
+        # coalesce: regular commits reuse chunks incrementally; THIS job's
+        # purpose is to fold accumulated small chunks into full-size ones
+        force_rewrite=True,
     )

@@ -29,6 +29,7 @@ from moonlink_spark.catalog.manifests import (
 )
 from moonlink_spark.catalog.metadata import (
     FRESH_TARGET_BYTES,
+    MANIFEST_MAX_ENTRIES,
     DataFile,
     DeleteFile,
     Snapshot,
@@ -124,21 +125,55 @@ class MoonTable:
         data_files: list[DataFile],
         delete_files: list[DeleteFile],
         summary: dict | None = None,
+        force_rewrite: bool = False,
     ) -> int:
-        """Write manifests for the *complete* new file state and commit a new
-        snapshot via catalog CAS. Returns the new snapshot id.
+        """Commit the *complete* new file state as a snapshot via catalog CAS.
+        Returns the new snapshot id.
 
-        Manifest rewrite semantics match the reference: removed files are
-        simply absent from the new manifests; rollover at 25k entries
-        (data_file_manifest_manager.rs:54-100).
+        Manifest writes are INCREMENTAL (O(delta), not O(table)): chunks of
+        the parent snapshot whose entries are unchanged are reused by name;
+        only added files and files in touched chunks get fresh chunks
+        (reference behaviour: data_file_manifest_manager.rs:54-100 drops
+        removed entries and rolls at 25k). *force_rewrite* coalesces
+        everything into freshly rolled chunks (the rewrite_manifests job).
         """
+        from moonlink_spark.catalog.manifests import incremental_reuse
+
         meta = self.catalog.load()
         version = self.catalog.current_version()
         seq = meta.last_sequence_number + 1
-        manifests = write_data_manifests(self.catalog.metadata_dir, sorted(data_files, key=lambda d: d.file_path))
-        delete_manifests = write_delete_manifests(
-            self.catalog.metadata_dir, sorted(delete_files, key=lambda d: d.file_path)
-        )
+        parent = meta.current_snapshot()
+        max_entries = int(meta.properties.get("manifest.max-entries", MANIFEST_MAX_ENTRIES))
+        if force_rewrite or parent is None:
+            manifests = write_data_manifests(
+                self.catalog.metadata_dir,
+                sorted(data_files, key=lambda d: d.file_path),
+                max_entries=max_entries,
+            )
+            delete_manifests = write_delete_manifests(
+                self.catalog.metadata_dir,
+                sorted(delete_files, key=lambda d: d.file_path),
+                max_entries=max_entries,
+            )
+        else:
+            kept, residual = incremental_reuse(
+                self.catalog.metadata_dir, parent.manifests, data_files,
+                read_data_manifests,
+            )
+            manifests = kept + write_data_manifests(
+                self.catalog.metadata_dir,
+                sorted(residual, key=lambda d: d.file_path),
+                max_entries=max_entries,
+            )
+            kept_d, residual_d = incremental_reuse(
+                self.catalog.metadata_dir, parent.delete_manifests, delete_files,
+                read_delete_manifests,
+            )
+            delete_manifests = kept_d + write_delete_manifests(
+                self.catalog.metadata_dir,
+                sorted(residual_d, key=lambda d: d.file_path),
+                max_entries=max_entries,
+            )
         snap = Snapshot(
             snapshot_id=seq,
             parent_id=meta.current_snapshot_id,

@@ -1,0 +1,73 @@
+"""Incremental manifest commits: O(delta) metadata writes, chunk sharing
+across snapshots, coalesce via rewrite_manifests, GC of unreferenced chunks.
+"""
+
+import os
+
+import pyspark.sql.types as T
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
+from moonlink_spark.operators.manifest_rewrite import rewrite_manifests
+from moonlink_spark.table import MoonTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+
+def _mk(spark, root, props=None):
+    return MoonTable.create(spark, root, SCHEMA, key_columns=["k"], properties=props)
+
+
+def _append(spark, t, lo, hi, files):
+    df = spark.range(lo, hi).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    t.append(df, rows_per_file=max(1, (hi - lo) // files))
+
+
+def test_append_reuses_parent_chunks(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root, props={"manifest.max-entries": "4"})
+    _append(spark, t, 0, 400, files=8)  # 8 files -> 2 chunks of 4
+    m1 = set(t.meta.current_snapshot().manifests)
+    assert len(m1) == 2
+    _append(spark, t, 400, 500, files=2)  # +2 files
+    snap2 = t.meta.current_snapshot()
+    m2 = set(snap2.manifests)
+    # both full parent chunks are reused by name; only the delta is new
+    assert m1 <= m2
+    assert len(m2 - m1) == 1
+    assert len(t.data_files()) == 10
+
+
+def test_rewrite_manifests_coalesces(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root, props={"manifest.max-entries": "4"})
+    for i in range(4):
+        _append(spark, t, i * 10, (i + 1) * 10, files=1)  # 4 single-file commits
+    assert len(t.meta.current_snapshot().manifests) == 4
+    rewrite_manifests(t)
+    assert len(t.meta.current_snapshot().manifests) == 1
+    assert len(t.data_files()) == 4
+    assert t.scan().count() == 40
+
+
+def test_manifest_gc_keeps_shared_chunks(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root, props={"manifest.max-entries": "4"})
+    _append(spark, t, 0, 400, files=8)
+    _append(spark, t, 400, 500, files=2)
+    live = set(t.meta.current_snapshot().manifests)
+    expire_snapshots(t, retain_last=1)
+    sweep_orphans(t, quarantine=False)
+    on_disk = {
+        n
+        for n in os.listdir(t.catalog.metadata_dir)
+        if n.startswith("manifest-") and n.endswith(".json")
+    }
+    # every chunk the current snapshot references survives; nothing else does
+    assert on_disk == live
+    assert t.scan().count() == 500

@@ -527,6 +527,35 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 6 (transaction_stream.rs / table_handler.rs): REAL Structured
+    Streaming CDC ingest — the change batch staged as a parquet drop-dir,
+    drained via Trigger.AvailableNow into per-epoch MERGE commits. One file
+    -> one epoch, so the final state is the same LWW the batch oracle
+    computes."""
+    from moonlink_spark.streaming.ingest import ingest_cdc_dir
+
+    t = _make_table(spark, sf_dir, "stream_cdc")
+    stage = _fresh_root("stream_cdc_src")
+    ckpt = _fresh_root("stream_cdc_ckpt")
+    _changes_df(spark, sf_dir).coalesce(1).write.parquet(stage)
+    ingest_cdc_dir(t, stage, ckpt)
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation (readStream -> watermark ->
+    tumbling window -> stateful agg -> memory sink, Trigger.AvailableNow) —
+    the streaming twin of events_window_agg, checked by the same oracle."""
+    from moonlink_spark.streaming.ingest import windowed_event_counts
+
+    ckpt = _fresh_root("stream_win_ckpt")
+    src = _fresh_root("stream_win_src")  # file stream sources need a DIRECTORY
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+    return windowed_event_counts(spark, src, ckpt)
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.pipeline.text import token_stats
 
@@ -775,6 +804,11 @@ SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2""",
+        "events_stream_window": """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2""",
         "embed_lsh_ann": f"""
 WITH bucketed AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings),
 scored AS (
@@ -855,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dups": q_embed_near_dups,
         "events_window_agg": q_events_window_agg,
+        "streaming_cdc_merge": q_streaming_cdc_merge,
+        "events_stream_window": q_events_stream_window,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -873,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "bulk_append_scan": base_images,
         "merge_cdc_lww": lww,
         "compact_small_files": lww,
+        "streaming_cdc_merge": lww,
         "cluster_zorder": lww.replace("changes", "changes") if False else None,  # set below
         "cluster_hilbert": None,
         "snapshot_time_travel": base_no_bytes,

@@ -51,3 +51,83 @@ def start_cdc_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def ingest_cdc_dir(
+    table: MoonTable,
+    changes_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain a parquet drop-directory of CDC files into *table* and stop
+    (Trigger.AvailableNow): the bounded-backfill shape of the continuous
+    path above. Each micro-batch is one transactional MERGE commit."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    schema = table.schema
+    import pyspark.sql.types as T
+
+    src_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+            *schema.fields,
+        ]
+    )
+    reader = table.spark.readStream.schema(src_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changes_dir)
+    q = start_cdc_stream(
+        table, stream, checkpoint_dir, trigger={"availableNow": True},
+        query_name="moonlink_cdc_backfill",
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    spark,
+    events_dir: str,
+    checkpoint_dir: str,
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """readStream -> watermark -> tumbling-window agg -> in-memory sink,
+    drained with Trigger.AvailableNow; returns the final result DataFrame.
+
+    The real Structured Streaming plan (stateful windowed aggregation with a
+    late-data watermark); in complete mode every window is emitted when the
+    bounded source drains, so batch oracles can check it exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(events_dir).schema  # bounded source: cheap footer read
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # watermarks need a zoned timestamp; session TZ is UTC so an ntz cast is
+    # value-preserving
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).start.alias("win_start"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    name = f"moonlink_win_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        # ntz round-trip keeps the output schema identical to the batch twin
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "event_type", "n_events", "value_cents",
+    )

@@ -111,7 +111,21 @@ def merge_into(
             n_inserts = inserts.count()
             new_data_files = []
             if n_inserts > 0:
-                nb = max(1, -(-n_inserts // rows_per_file))
+                # bin by BYTES, not rows: wide binary payloads would turn a
+                # row-count bin into one multi-GB serial write task. Average
+                # row size comes from the target table's own manifests
+                # (free metadata); fresh files target 128 MiB snappy
+                # (mooncake_table_config.rs:24).
+                from moonlink_spark.catalog.metadata import FRESH_TARGET_BYTES
+
+                existing_files = table.data_files()
+                tot_rows = sum(f.record_count for f in existing_files)
+                tot_bytes = sum(f.file_size_bytes for f in existing_files)
+                if tot_rows > 0:
+                    est_bytes = n_inserts * (tot_bytes / tot_rows)
+                    nb = max(1, -(-int(est_bytes) // FRESH_TARGET_BYTES))
+                else:
+                    nb = max(1, -(-n_inserts // rows_per_file))
                 binned = inserts.withColumn("_bin", hash_bin(key, nb))
                 new_data_files = write_datafiles(
                     binned,

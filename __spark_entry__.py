@@ -556,6 +556,16 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(spark, src, ckpt)
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) — the batch form of
+    the custom stateful operator family (streaming twin uses
+    applyInPandasWithState, exercised in tests/test_sessions.py)."""
+    from moonlink_spark.streaming.sessions import sessionize
+
+    _load_views(spark, sf_dir)
+    return sessionize(spark.table("events"), gap_minutes=30)
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.pipeline.text import token_stats
 
@@ -809,6 +819,23 @@ SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_seq""",
         "embed_lsh_ann": f"""
 WITH bucketed AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings),
 scored AS (
@@ -891,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "streaming_cdc_merge": q_streaming_cdc_merge,
         "events_stream_window": q_events_stream_window,
+        "events_sessionize": q_events_sessionize,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

@@ -71,6 +71,21 @@ def merge_into(
 ) -> MergeResult:
     """Apply a CDC batch to *table*; returns the committed MergeResult."""
     run_id = run_id or uuid.uuid4().hex[:12]
+
+    # exactly-once per run_id: a retry after a successful commit must not
+    # re-apply (it would probe its own committed output files). Same pattern
+    # as streaming epoch replay / Iceberg txn-version checks; the retry
+    # window must precede snapshot expiry, like moonlink's WAL truncation
+    # horizon (wal.rs truncates only ≤ the iceberg-persisted LSN).
+    for s in table.snapshots():
+        if s.operation == "merge" and s.summary.get("run_id") == run_id:
+            return MergeResult(
+                snapshot_id=s.snapshot_id,
+                inserted_rows=int(s.summary.get("added-records", 0)),
+                deleted_positions=int(s.summary.get("matched-keys", 0)),
+                matched_keys=int(s.summary.get("matched-keys", 0)),
+            )
+
     key = table.key_columns[0]
     cols = [f.name for f in table.schema.fields]
 
@@ -140,7 +155,17 @@ def merge_into(
         final.unpersist()
 
     # --- atomic commit ----------------------------------------------------
-    data_files = table.data_files()
+    # a re-run of a completed run_id rewrites the same file names; exclude
+    # them from "existing" or they'd be committed twice (same guard as
+    # compaction's survivor set)
+    out_set = {norm_path(f.file_path) for f in new_data_files}
+    out_del = {norm_path(f.file_path) for f in new_delete_files}
+    data_files = [
+        f for f in table.data_files() if norm_path(f.file_path) not in out_set
+    ]
+    prior_deletes = [
+        d for d in table.delete_files() if norm_path(d.file_path) not in out_del
+    ]
     for f in data_files:
         extra = per_file_deletes.get(norm_path(f.file_path), 0)
         if extra:
@@ -148,7 +173,7 @@ def merge_into(
     sid = table.commit_snapshot(
         "merge",
         data_files + new_data_files,
-        table.delete_files() + new_delete_files,
+        prior_deletes + new_delete_files,
         summary={
             "run_id": run_id,
             "matched-keys": n_matched,

@@ -366,6 +366,37 @@ WITH dims AS (
 SELECT l_orderkey, l_linenumber, x, y, z, CAST({zk} AS BIGINT) AS zkey FROM dims"""
 
 
+def q_add_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 7 (batch_ingestion.rs:20-166): bulk ingest registers EXISTING
+    parquet files verbatim — no rewrite; stats/row counts from a distributed
+    footer read. Scan must return exactly the external files' rows."""
+    import glob
+
+    from moonlink_spark.sources.fixtures import IMAGES_SCHEMA
+    from moonlink_spark.table import MoonTable
+
+    ext = _fresh_root("add_files_ext")
+    _images_df(spark, sf_dir).repartition(4).write.parquet(ext)
+    root = _fresh_root("add_files_tbl")
+    t = MoonTable.create(spark, root, IMAGES_SCHEMA, key_columns=["image_id"])
+    t.add_files(sorted(glob.glob(os.path.join(ext, "*.parquet"))), run_id="af1")
+    return t.scan()
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: decode -> nearest-neighbor resample -> re-encode,
+    Arrow-batched mapInPandas. No SQL oracle (pixel kernel) -> rows-only;
+    pixel invariants live in tests/test_pipeline.py."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.pipeline.multimodal import decode_stats, resize_images
+    from moonlink_spark.sources.fixtures import generate_images_df
+
+    imgs = generate_images_df(spark, 500, seed=42)
+    resized = resize_images(imgs, target_w=16, target_h=16)
+    return decode_stats(resized).orderBy(F.col("image_id"))
+
+
 _LSN_CUT = 3_000_000
 
 
@@ -892,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # engine / maintenance (SURVEY.md §2)
         "bulk_append_scan": q_bulk_append_scan,
+        "add_files_scan": q_add_files_scan,
+        "image_resize": q_image_resize,
         "merge_cdc_lww": q_merge_cdc_lww,
         "compact_small_files": q_compact_small_files,
         "cluster_zorder": q_cluster_zorder,
@@ -935,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
     lww = _lww_select(d)
     out = {
         "bulk_append_scan": base_images,
+        "add_files_scan": base_images,
         "merge_cdc_lww": lww,
         "compact_small_files": lww,
         "streaming_cdc_merge": lww,

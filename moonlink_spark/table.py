@@ -235,6 +235,42 @@ class MoonTable:
         )
         return sid
 
+    def add_files(self, paths: list[str], run_id: str | None = None) -> int:
+        """Register EXISTING parquet files as-is — no read, no rewrite, no
+        validation of row contents (moonlink's bulk ingest loads files
+        verbatim, batch_ingestion.rs:20-166). Stats and row counts come from
+        a distributed parquet-footer read, so table-level planning
+        (compaction selection, manifest stats) works immediately.
+        """
+        from moonlink_spark.catalog.stats import footer_stats
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        norm = [norm_path(p) for p in paths]
+        existing_paths = {norm_path(f.file_path) for f in self.data_files()}
+        dup = existing_paths & set(norm)
+        if dup:
+            raise ValueError(f"files already registered: {sorted(dup)[:3]}...")
+        got = footer_stats(self.spark, norm)
+        new_files = [
+            DataFile(
+                file_path=p,
+                record_count=got[p]["record_count"],
+                file_size_bytes=got[p]["file_size_bytes"],
+                stats=got[p]["stats"],
+            )
+            for p in norm
+        ]
+        return self.commit_snapshot(
+            "add-files",
+            self.data_files() + new_files,
+            self.delete_files(),
+            summary={
+                "run_id": run_id,
+                "added-files": len(new_files),
+                "added-records": sum(f.record_count for f in new_files),
+            },
+        )
+
     # ------------------------------------------------------------- scan
     def _read_data(self, files: list[DataFile], with_position: bool) -> DataFrame:
         schema = self.schema

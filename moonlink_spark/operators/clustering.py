@@ -172,6 +172,18 @@ def cluster(
     """Full-table clustering rewrite; returns the new snapshot id."""
     by = by or ["phash", "w", "h"]
     run_id = run_id or uuid.uuid4().hex[:12]
+    with table.maintenance_lock("cluster", run_id):
+        return _cluster_locked(table, by, curve, run_id, target_bytes, bits)
+
+
+def _cluster_locked(
+    table: MoonTable,
+    by: list[str],
+    curve: str,
+    run_id: str,
+    target_bytes: int,
+    bits: int,
+) -> int:
     plan = _plan(table, run_id, by, curve, target_bytes, bits)
     lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
 

@@ -147,6 +147,16 @@ def compact(
     """Run compaction; returns the new snapshot id, or None if nothing to do."""
     config = config or CompactionConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
+    with table.maintenance_lock("compact", run_id):
+        return _compact_locked(table, config, run_id, max_concurrent_groups)
+
+
+def _compact_locked(
+    table: MoonTable,
+    config: CompactionConfig,
+    run_id: str,
+    max_concurrent_groups: int,
+) -> int | None:
     plan = plan_compaction(table, config, run_id)
     if plan is None:
         return None

@@ -42,6 +42,10 @@ from moonlink_spark.plans.physical import hash_bin, write_datafiles
 _BROADCAST_DELETES_BYTES = 256 * 1024 * 1024
 
 
+class MaintenanceInProgress(Exception):
+    """Another maintenance job holds this table's advisory lock."""
+
+
 class MoonTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -330,6 +334,49 @@ class MoonTable:
         if columns:
             df = df.select(*columns)
         return df
+
+    # ----------------------------------------------------- maintenance lock
+    def maintenance_lock(self, job: str, run_id: str):
+        """Advisory mutual exclusion for background maintenance: at most one
+        compaction/clustering in flight per table (table_handler.rs:526-609
+        serializes maintenance through the event loop; here an O_EXCL lock
+        file carries {job, run_id} so a second scheduler sees who holds it).
+
+        Re-entrant for the SAME run_id (a resumed run re-acquires its own
+        lock); stale locks are the operator's to clear (lock file names the
+        holder). Returns a context manager."""
+        import contextlib
+        import json as _json
+
+        lock_path = os.path.join(self.catalog.metadata_dir, "maintenance.lock")
+
+        @contextlib.contextmanager
+        def _lock():
+            created = False
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                created = True
+                with os.fdopen(fd, "w") as f:
+                    _json.dump({"job": job, "run_id": run_id}, f)
+            except FileExistsError:
+                with open(lock_path) as f:
+                    holder = _json.load(f)
+                if holder.get("run_id") != run_id:
+                    raise MaintenanceInProgress(
+                        f"{holder.get('job')} run {holder.get('run_id')} holds "
+                        f"the maintenance lock on {self.root}"
+                    ) from None
+                # re-entrant re-acquire: the original holder owns the release
+            try:
+                yield
+            finally:
+                if created:
+                    try:
+                        os.unlink(lock_path)
+                    except FileNotFoundError:
+                        pass
+
+        return _lock()
 
     # --------------------------------------------------------- read-at-LSN
     def snapshot_for_lsn(self, lsn: int) -> Snapshot | None:

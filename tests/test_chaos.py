@@ -120,3 +120,18 @@ def test_catalog_cas_conflict(spark, tmp_path):
     t.catalog.commit(meta, expected_version=v)  # writer A wins
     with pytest.raises(CommitConflict):
         t.catalog.commit(meta, expected_version=v)  # writer B must lose
+
+
+def test_maintenance_mutual_exclusion(spark, tmp_path):
+    from moonlink_spark.table import MaintenanceInProgress
+
+    t = create_images_table(spark, str(tmp_path / "t"), 600, seed=42)
+    with t.maintenance_lock("compact", "r1"):
+        with pytest.raises(MaintenanceInProgress):
+            cluster(t, by=["phash", "w", "h"], run_id="r2")
+        # re-entrant for the SAME run_id (resume path)
+        with t.maintenance_lock("compact", "r1"):
+            pass
+    # released: next job proceeds
+    cluster(t, by=["phash", "w", "h"], run_id="r3")
+    assert t.scan().count() == 600

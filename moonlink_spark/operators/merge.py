@@ -102,7 +102,27 @@ def merge_into(
         keys_df = final.select(key)
         if n_final <= _BROADCAST_CHANGE_ROWS:
             keys_df = F.broadcast(keys_df)
-        target_pos = table.scan(with_position=True, columns=[key, "_fp", "_pos"])
+
+        # manifest-stats file pruning: a file whose [min,max] key range
+        # can't intersect the batch's key range can't hold a matching row —
+        # skip probing it entirely (the moonlink analog: per-file min/max
+        # Datum stats gating the index probe; on a key-clustered table this
+        # turns a full-table probe into a few files)
+        all_files = table.data_files()
+        kb = final.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        probe_files = all_files
+        if kb["lo"] is not None:
+            pruned = []
+            for f in all_files:
+                st = f.stats.get(key) or {}
+                mn, mx = st.get("min"), st.get("max")
+                if mn is not None and mx is not None and (mx < kb["lo"] or mn > kb["hi"]):
+                    continue
+                pruned.append(f)
+            probe_files = pruned
+        target_pos = table.scan(
+            with_position=True, columns=[key, "_fp", "_pos"], files=probe_files
+        )
         matched = target_pos.join(keys_df, key, "left_semi").select(
             F.col("_fp").alias("file_path"), F.col("_pos").alias("pos")
         )
@@ -181,6 +201,8 @@ def merge_into(
             "added-files": len(new_data_files),
             "added-delete-files": len(new_delete_files),
             "flush-lsn": flush_lsn,
+            "probed-files": len(probe_files),
+            "total-files": len(all_files),
         },
     )
     return MergeResult(

@@ -309,6 +309,7 @@ class MoonTable:
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
         with_position: bool = False,
+        files: list[DataFile] | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read: data files of the snapshot, anti-joined
         with its position deletes (reference read path:
@@ -316,9 +317,11 @@ class MoonTable:
 
         Column pruning and filter pushdown stay with Catalyst — when the
         caller filters/projects the returned DataFrame, the parquet scan
-        reads only what's needed.
+        reads only what's needed. *files* restricts the scan to a planner-
+        chosen subset (manifest-stats pruning); delete filtering still
+        applies.
         """
-        files = self.data_files(snapshot_id)
+        files = self.data_files(snapshot_id) if files is None else files
         dfiles = self.delete_files(snapshot_id)
         need_pos = with_position or bool(dfiles)
         df = self._read_data(files, with_position=need_pos)

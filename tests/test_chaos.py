@@ -135,3 +135,39 @@ def test_maintenance_mutual_exclusion(spark, tmp_path):
     # released: next job proceeds
     cluster(t, by=["phash", "w", "h"], run_id="r3")
     assert t.scan().count() == 600
+
+
+def test_merge_probe_prunes_by_key_stats(spark, tmp_path):
+    """On a key-clustered layout the MERGE probe must skip files whose
+    manifest [min,max] key range can't contain any change key."""
+    import pyspark.sql.types as T
+
+    from moonlink_spark.table import MoonTable
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ])
+    t = MoonTable.create(spark, str(tmp_path / "t"), schema, key_columns=["image_id"])
+    # 4 range-partitioned files: ids k000..k099 / k100..k199 / ...
+    df = spark.range(0, 400).select(
+        F.format_string("k%03d", F.col("id")).alias("image_id"),
+        F.col("id").alias("v"),
+    ).withColumn("_bin", (F.col("v") / 100).cast("int"))
+    t.append(df, explicit_bins=df, num_bins=4)
+    assert len(t.data_files()) == 4
+
+    # change batch touches only the first range
+    ch = spark.range(0, 10).select(
+        F.lit("U").alias("op"),
+        (F.col("id") + 100).cast("long").alias("lsn"),
+        F.format_string("k%03d", F.col("id")).alias("image_id"),
+        (F.col("id") + 1000).alias("v"),
+    )
+    merge_into(t, ch, run_id="m1")
+    s = t.meta.current_snapshot().summary
+    assert s["total-files"] == 4
+    assert s["probed-files"] == 1  # three files pruned by key-range stats
+    assert s["matched-keys"] == 10
+    got = {r["image_id"]: r["v"] for r in t.scan().collect()}
+    assert got["k005"] == 1005 and got["k105"] == 105 and len(got) == 400

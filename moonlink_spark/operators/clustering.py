@@ -114,12 +114,20 @@ def _plan(
     base_bins = max(1, -(-total_live // target_bytes))
     bounds = _column_bounds(table, files, by)
 
-    # seeded sample -> curve keys -> quantile boundaries
-    frac = min(1.0, _SAMPLE_TARGET / total_rows)
+    # seeded sample -> curve keys -> quantile boundaries. The sample reads a
+    # SUBSET of files (every k-th, ≤32): rows are hash-distributed across
+    # files, so a file subset is an unbiased key sample, and the plan pass
+    # opens 32 files instead of the whole table's worth.
+    files_sorted = sorted(files, key=lambda f: f.file_path)
+    stride = max(1, len(files_sorted) // 32)
+    sample_files = files_sorted[::stride][:32]
+    sample_rows = max(1, sum(f.record_count for f in sample_files))
+    frac = min(1.0, _SAMPLE_TARGET / sample_rows)
+    sample_scan = table.scan(columns=by, files=sample_files)
     sample_pdf = (
-        table.scan(columns=by).sample(fraction=frac, seed=_SEED).toPandas()
+        sample_scan.sample(fraction=frac, seed=_SEED).toPandas()
         if frac < 1.0
-        else table.scan(columns=by).toPandas()
+        else sample_scan.toPandas()
     )
     if len(sample_pdf) == 0:
         keys = np.zeros(1, dtype=np.int64)

@@ -98,6 +98,28 @@ def write_datafiles(
     arrow_schema = to_arrow_schema(T.StructType(payload_fields))
     payload_cols = [f.name for f in payload_fields]
 
+    # per-column codecs: opaque binary payloads (images) are already
+    # compressed/high-entropy — zstd-4 on them burns the write stage's CPU
+    # for ~zero ratio. Binary columns get snappy (near-free, bails fast on
+    # incompressible data); the requested codec applies to everything else.
+    if compression not in (None, "none", "snappy"):
+        codec_by_col = {
+            f.name: ("snappy" if f.dataType.typeName() in _STATLESS_TYPES else compression)
+            for f in payload_fields
+        }
+        level_by_col = (
+            {
+                f.name: compression_level
+                for f in payload_fields
+                if f.dataType.typeName() not in _STATLESS_TYPES
+            }
+            if compression_level is not None
+            else None
+        )
+    else:
+        codec_by_col = compression
+        level_by_col = compression_level
+
     if lineage_dir:
         os.makedirs(lineage_dir, exist_ok=True)
 
@@ -152,8 +174,8 @@ def write_datafiles(
                 writers[b] = pq.ParquetWriter(
                     final + ".inprogress",
                     arrow_schema,
-                    compression=compression,
-                    compression_level=compression_level,
+                    compression=codec_by_col,
+                    compression_level=level_by_col,
                 )
                 counts[b] = 0
                 stats[b] = {}

@@ -92,11 +92,14 @@ def merge_into(
     final = last_writer_wins(changes, key)
     final.cache()
     try:
-        n_final = final.count()
-        # commit LSN baseline (mooncake_table.rs:1290-1312): the snapshot's
-        # flush_lsn = highest lsn applied, consumed by read-at-LSN scans
-        max_lsn_row = final.agg(F.max("lsn").alias("mx")).first()
-        flush_lsn = int(max_lsn_row["mx"]) if max_lsn_row["mx"] is not None else 0
+        # one action materializes the cache AND yields count + commit-LSN
+        # baseline (mooncake_table.rs:1290-1312): the snapshot's flush_lsn =
+        # highest lsn applied, consumed by read-at-LSN scans
+        head = final.agg(
+            F.count("*").alias("n"), F.max("lsn").alias("mx")
+        ).first()
+        n_final = int(head["n"])
+        flush_lsn = int(head["mx"]) if head["mx"] is not None else 0
 
         # --- position resolution: join IS the index (hash_index.rs analog) ----
         keys_df = final.select(key)

@@ -26,6 +26,31 @@ def _chunks(seq, n):
         yield seq[i : i + n]
 
 
+# Manifest chunks are IMMUTABLE once written (uuid-named, never rewritten in
+# place), so parsed entries can be cached by path: without this, every commit
+# and every data_files() call re-reads every parent chunk on the driver —
+# O(table) metadata reads per commit even though writes are O(delta)
+# (at 10^12 files that's the planner bottleneck). The cache stores RAW dicts;
+# readers construct fresh dataclasses so callers may mutate them
+# (merge bumps deleted_count, cluster stamps cluster_by) without corrupting
+# the cache. Bounded FIFO: chunk lists are small (≤25k entries each).
+_CHUNK_CACHE: dict[str, list[dict]] = {}
+_CHUNK_CACHE_MAX = 4096
+
+
+def _read_chunk(metadata_dir: str, name: str) -> list[dict]:
+    path = os.path.join(metadata_dir, name)
+    hit = _CHUNK_CACHE.get(path)
+    if hit is not None:
+        return hit
+    with open(path) as f:
+        entries = json.load(f)
+    if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+        _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+    _CHUNK_CACHE[path] = entries
+    return entries
+
+
 def write_data_manifests(
     metadata_dir: str,
     files: list[DataFile],
@@ -56,6 +81,8 @@ def _write(metadata_dir: str, prefix: str, entries: list[dict], max_entries: int
         with open(tmp, "w") as f:
             json.dump(chunk, f)
         os.rename(tmp, path)
+        if len(_CHUNK_CACHE) < _CHUNK_CACHE_MAX:
+            _CHUNK_CACHE[path] = chunk  # write-through: fresh chunks are hot
         out.append(name)
     return out
 
@@ -96,14 +123,12 @@ def incremental_reuse(
 def read_data_manifests(metadata_dir: str, manifest_names: list[str]) -> list[DataFile]:
     files: list[DataFile] = []
     for name in manifest_names:
-        with open(os.path.join(metadata_dir, name)) as f:
-            files.extend(DataFile(**e) for e in json.load(f))
+        files.extend(DataFile(**e) for e in _read_chunk(metadata_dir, name))
     return files
 
 
 def read_delete_manifests(metadata_dir: str, manifest_names: list[str]) -> list[DeleteFile]:
     files: list[DeleteFile] = []
     for name in manifest_names:
-        with open(os.path.join(metadata_dir, name)) as f:
-            files.extend(DeleteFile(**e) for e in json.load(f))
+        files.extend(DeleteFile(**e) for e in _read_chunk(metadata_dir, name))
     return files

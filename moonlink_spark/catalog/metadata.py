@@ -47,6 +47,14 @@ class DataFile:
     deleted_count: int = 0
     # sort/cluster provenance: None | "zorder" | "hilbert"
     cluster_by: str | None = None
+    # column-name -> field-id mapping AT WRITE TIME (the PARQUET:field_id
+    # analog the reference round-trips, iceberg_table_manager.rs:88-89;
+    # benches/bench_write.rs:33-45). Scans project a column from this file
+    # only if the file's id for that name matches the table's CURRENT id —
+    # a column dropped then re-added under the same name gets a FRESH id, so
+    # pre-drop files read as NULL instead of resurrecting stale values.
+    # None = written before field-ids existed (treated as current-schema).
+    field_ids: dict[str, int] | None = None
 
     @property
     def live_count(self) -> int:
@@ -94,6 +102,11 @@ class TableMetadata:
     last_sequence_number: int = 0
     snapshots: list[Snapshot] = field(default_factory=list)
     properties: dict[str, Any] = field(default_factory=dict)
+    # Iceberg-style field-id ledger: CURRENT column name -> id; ids are never
+    # reused, so drop-then-re-add assigns a fresh id and scans of pre-drop
+    # files project NULL for the re-added column (see DataFile.field_ids)
+    field_ids: dict[str, int] = field(default_factory=dict)
+    next_field_id: int = 1
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         for s in self.snapshots:

@@ -120,9 +120,14 @@ def zorder_key_column(cols, bounds: list[tuple[float, float]], bits: int = DEFAU
         if span <= 0:
             qs.append(F.lit(0).cast("long"))
             continue
+        # NaN -> null -> quantized 0, matching normalize_to_bits (numpy maps
+        # NaN to cell 0); without this, Spark's greatest/least order NaN as
+        # LARGEST and a NaN input would quantize to maxv — divergent keys
+        cd = c.cast("double")
+        cd = F.when(F.isnan(cd), F.lit(None).cast("double")).otherwise(cd)
         scaled = (
             F.least(
-                F.greatest((c.cast("double") - F.lit(float(lo))) / F.lit(span), F.lit(0.0)),
+                F.greatest((cd - F.lit(float(lo))) / F.lit(span), F.lit(0.0)),
                 F.lit(1.0),
             )
             * F.lit(maxv)

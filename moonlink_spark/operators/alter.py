@@ -55,6 +55,19 @@ def alter_table(
 
     version = table.catalog.current_version()
     meta.schema_json = new_schema.json()
+    # field-id ledger: drops RETIRE the id (never reused); adds take a fresh
+    # one — so a column re-added under a dropped name gets a new id and scans
+    # of pre-drop files project NULL instead of the stale physical values
+    # (Iceberg field-id semantics; the reference persists PARQUET:field_id,
+    # iceberg_table_manager.rs:88-89)
+    if not meta.field_ids:  # legacy table: adopt ids for the pre-alter schema
+        meta.field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+        meta.next_field_id = len(schema.fields) + 1
+    for c in drop_columns:
+        meta.field_ids.pop(c, None)
+    for f in add_columns:
+        meta.field_ids[f.name] = meta.next_field_id
+        meta.next_field_id += 1
     table.catalog.commit(meta, expected_version=version)
     # force an (empty-change) snapshot carrying the schema update, mirroring
     # moonlink's "force empty iceberg snapshot w/ schema update"

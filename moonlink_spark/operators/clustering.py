@@ -44,6 +44,14 @@ from moonlink_spark.table import MoonTable
 _SAMPLE_TARGET = 64_000
 _SEED = 42
 
+# boundary-search strategy cutover: below this many range boundaries the
+# whole assignment stays JVM-native (array-literal filter — O(bins) per row
+# but codegen-cheap at small counts); above it, an O(log bins) numpy
+# searchsorted in an Arrow-batched pandas UDF. At 100 TB a re-cluster has
+# ~200k boundaries — the array-literal form would be an O(bins)-per-row
+# expression inside a multi-MB codegen plan (the round-1 scale-killer).
+_NATIVE_BOUNDARY_MAX = 128
+
 
 @dataclass
 class ClusterPlan:
@@ -169,6 +177,93 @@ def _plan(
     return plan
 
 
+def assign_keys_and_bins(df, plan: ClusterPlan, key_col: str, bits: int = DEFAULT_BITS):
+    """Attach ``_zkey`` (curve key) and ``_bin`` (salted range bin) to *df*.
+
+    Strategy by scale:
+    - Z-order + ≤_NATIVE_BOUNDARY_MAX boundaries: fully JVM-side — codegen'd
+      bit interleave, array-literal boundary filter, crc32 salt ("stay
+      JVM-side"; no Python worker in the hot path).
+    - Z-order + many boundaries: JVM-native key, then an Arrow-batched
+      pandas UDF doing O(log bins) np.searchsorted over the broadcast
+      boundary array — the array-literal filter would be O(bins) per row and
+      a multi-MB codegen plan at 100 TB bin counts.
+    - Hilbert: the key itself needs the iterative Skilling transform, so key
+      AND bin come from one vectorized pandas UDF.
+    """
+    bounds = plan.bounds
+    boundaries = np.array(plan.boundaries, dtype=np.int64)
+    salts = np.array(plan.salts, dtype=np.int64)
+    offsets = np.array(plan.offsets[:-1], dtype=np.int64)
+    curve_name = plan.curve
+    by_cols = plan.by
+    nbits = bits
+
+    if curve_name == "zorder":
+        from moonlink_spark.functions.zorder import zorder_key_column
+
+        zk = zorder_key_column([F.col(c) for c in by_cols], bounds, bits=nbits)
+        df = df.withColumn("_zkey", zk)
+        if len(boundaries) <= _NATIVE_BOUNDARY_MAX:
+            if len(boundaries):
+                barr = F.array(*[F.lit(int(b)).cast("long") for b in boundaries])
+                base = F.size(F.filter(barr, lambda x: x <= F.col("_zkey")))
+            else:
+                base = F.lit(0)
+            df = df.withColumn("_base", base)
+            oarr = F.array(*[F.lit(int(o)).cast("int") for o in offsets])
+            sarr = F.array(*[F.lit(int(s)).cast("int") for s in salts])
+            off = F.element_at(oarr, F.col("_base") + 1)
+            salt_n = F.element_at(sarr, F.col("_base") + 1)
+            # deterministic salt from the row key string (crc32: stable across
+            # processes; matches zlib.crc32 over UTF-8 bytes)
+            salt = F.when(
+                salt_n > 1, F.pmod(F.crc32(F.col(key_col).cast("binary")), salt_n)
+            ).otherwise(F.lit(0))
+            return df.withColumn("_bin", (off + salt).cast("int")).drop("_base")
+
+        any_salted = bool((salts > 1).any())
+
+        @F.pandas_udf("int")
+        def _bin_of(zkey: pd.Series, ids: pd.Series) -> pd.Series:
+            base = np.searchsorted(boundaries, zkey.to_numpy(), side="right")
+            if not any_salted:
+                return pd.Series(offsets[base].astype(np.int32))
+            import zlib as _zlib
+
+            salt_n = salts[base]
+            sids = ids.astype(str)
+            h = np.fromiter(
+                (_zlib.crc32(x.encode()) for x in sids), dtype=np.int64, count=len(sids)
+            )
+            bins = offsets[base] + np.where(salt_n > 1, h % salt_n, 0)
+            return pd.Series(bins.astype(np.int32))
+
+        return df.withColumn("_bin", _bin_of(F.col("_zkey"), F.col(key_col)))
+
+    @F.pandas_udf("key long, bin int")
+    def _key_and_bin(*cols: pd.Series) -> pd.DataFrame:
+        arrays = [c.to_numpy() for c in cols[:-1]]
+        keys = curve_key(arrays, bounds, curve=curve_name, bits=nbits)
+        base = np.searchsorted(boundaries, keys, side="right")
+        salt_n = salts[base]
+        # deterministic salt from the row key string (crc32: stable
+        # across processes, unlike Python's seeded str hash)
+        import zlib as _zlib
+
+        ids = cols[-1].astype(str)
+        h = np.fromiter(
+            (_zlib.crc32(x.encode()) for x in ids), dtype=np.int64, count=len(ids)
+        )
+        bins = offsets[base] + np.where(salt_n > 1, h % salt_n, 0)
+        return pd.DataFrame({"key": keys, "bin": bins.astype(np.int32)})
+
+    kb = _key_and_bin(*[F.col(c) for c in by_cols], F.col(key_col))
+    return df.withColumn("_kb", kb).select(
+        "*", F.col("_kb.key").alias("_zkey"), F.col("_kb.bin").alias("_bin")
+    ).drop("_kb")
+
+
 def cluster(
     table: MoonTable,
     by: list[str] | None = None,
@@ -176,11 +271,12 @@ def cluster(
     run_id: str | None = None,
     target_bytes: int = COMPACT_TARGET_BYTES,
     bits: int = DEFAULT_BITS,
+    lock_wait_seconds: float = 0.0,
 ) -> int:
     """Full-table clustering rewrite; returns the new snapshot id."""
     by = by or ["phash", "w", "h"]
     run_id = run_id or uuid.uuid4().hex[:12]
-    with table.maintenance_lock("cluster", run_id):
+    with table.maintenance_lock("cluster", run_id, wait_seconds=lock_wait_seconds):
         return _cluster_locked(table, by, curve, run_id, target_bytes, bits)
 
 
@@ -196,12 +292,7 @@ def _cluster_locked(
     lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
 
     key_col = table.key_columns[0] if table.key_columns else by[0]
-    bounds = plan.bounds
-    boundaries = np.array(plan.boundaries, dtype=np.int64)
-    salts = np.array(plan.salts, dtype=np.int64)
-    offsets = np.array(plan.offsets[:-1], dtype=np.int64)
     num_bins = int(plan.offsets[-1])
-    curve_name, by_cols, nbits = plan.curve, plan.by, bits
 
     # resume: bins already written (lineage present) are filtered out before
     # the shuffle, so a resumed run re-reads only the missing bins' rows
@@ -211,53 +302,7 @@ def _cluster_locked(
             if name.startswith("bin-") and name.endswith(".json"):
                 done_bins.append(int(name[4:-5]))
 
-    df = table.scan()
-    if curve_name == "zorder":
-        # fully JVM-side: codegen'd bit interleave + boundary search + salt —
-        # no Python worker in the hot path ("stay JVM-side")
-        from moonlink_spark.functions.zorder import zorder_key_column
-
-        zk = zorder_key_column([F.col(c) for c in by_cols], bounds, bits=nbits)
-        df = df.withColumn("_zkey", zk)
-        if len(boundaries):
-            barr = F.array(*[F.lit(int(b)).cast("long") for b in boundaries])
-            base = F.size(F.filter(barr, lambda x: x <= F.col("_zkey")))
-        else:
-            base = F.lit(0)
-        df = df.withColumn("_base", base)
-        oarr = F.array(*[F.lit(int(o)).cast("int") for o in offsets])
-        sarr = F.array(*[F.lit(int(s)).cast("int") for s in salts])
-        off = F.element_at(oarr, F.col("_base") + 1)
-        salt_n = F.element_at(sarr, F.col("_base") + 1)
-        # deterministic salt from the row key string (crc32: stable across
-        # processes; matches zlib.crc32 over UTF-8 bytes)
-        salt = F.when(
-            salt_n > 1, F.pmod(F.crc32(F.col(key_col).cast("binary")), salt_n)
-        ).otherwise(F.lit(0))
-        df = df.withColumn("_bin", (off + salt).cast("int")).drop("_base")
-    else:
-
-        @F.pandas_udf("key long, bin int")
-        def _key_and_bin(*cols: pd.Series) -> pd.DataFrame:
-            arrays = [c.to_numpy() for c in cols[:-1]]
-            keys = curve_key(arrays, bounds, curve=curve_name, bits=nbits)
-            base = np.searchsorted(boundaries, keys, side="right")
-            salt_n = salts[base]
-            # deterministic salt from the row key string (crc32: stable
-            # across processes, unlike Python's seeded str hash)
-            import zlib as _zlib
-
-            ids = cols[-1].astype(str)
-            h = np.fromiter(
-                (_zlib.crc32(x.encode()) for x in ids), dtype=np.int64, count=len(ids)
-            )
-            bins = offsets[base] + np.where(salt_n > 1, h % salt_n, 0)
-            return pd.DataFrame({"key": keys, "bin": bins.astype(np.int32)})
-
-        kb = _key_and_bin(*[F.col(c) for c in by_cols], F.col(key_col))
-        df = df.withColumn("_kb", kb).select(
-            "*", F.col("_kb.key").alias("_zkey"), F.col("_kb.bin").alias("_bin")
-        ).drop("_kb")
+    df = assign_keys_and_bins(table.scan(), plan, key_col=key_col, bits=bits)
     if done_bins:
         df = df.filter(~F.col("_bin").isin(done_bins))
 
@@ -307,26 +352,36 @@ def _cluster_locked(
             "salts": plan.salts,
         }, fh)
 
+    # commit rebase on conflict: merges/compactions can't race (same lock)
+    # but lock-free additive appends can — recompute survivors from fresh
+    # state so their files survive the rewrite commit
+    from moonlink_spark.catalog.catalog import CommitConflict
+
     victim_set = set(plan.victims)
     out_set = {norm_path(f.file_path) for f in new_files}
-    survivors = [
-        f
-        for f in table.data_files()
-        if norm_path(f.file_path) not in victim_set
-        and norm_path(f.file_path) not in out_set
-    ]
-    sid = table.commit_snapshot(
-        "cluster",
-        survivors + new_files,
-        [],  # full rewrite applied all deletes inline -> table is DV-free
-        summary={
-            "run_id": run_id,
-            "curve": plan.curve,
-            "by": plan.by,
-            "removed-files": len(plan.victims),
-            "added-files": len(new_files),
-            "added-records": sum(f.record_count for f in new_files),
-            "salted-bins": int(sum(1 for s in plan.salts if s > 1)),
-        },
-    )
-    return sid
+    last_conflict: Exception | None = None
+    for _ in range(5):
+        survivors = [
+            f
+            for f in table.data_files()
+            if norm_path(f.file_path) not in victim_set
+            and norm_path(f.file_path) not in out_set
+        ]
+        try:
+            return table.commit_snapshot(
+                "cluster",
+                survivors + new_files,
+                [],  # full rewrite applied all deletes inline -> table is DV-free
+                summary={
+                    "run_id": run_id,
+                    "curve": plan.curve,
+                    "by": plan.by,
+                    "removed-files": len(plan.victims),
+                    "added-files": len(new_files),
+                    "added-records": sum(f.record_count for f in new_files),
+                    "salted-bins": int(sum(1 for s in plan.salts if s > 1)),
+                },
+            )
+        except CommitConflict as e:
+            last_conflict = e
+    raise last_conflict  # type: ignore[misc]

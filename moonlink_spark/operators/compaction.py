@@ -143,11 +143,14 @@ def compact(
     config: CompactionConfig | None = None,
     run_id: str | None = None,
     max_concurrent_groups: int = 8,
+    lock_wait_seconds: float = 0.0,
 ) -> int | None:
-    """Run compaction; returns the new snapshot id, or None if nothing to do."""
+    """Run compaction; returns the new snapshot id, or None if nothing to do.
+    With *lock_wait_seconds* > 0, waits for a concurrent merge/cluster to
+    release the maintenance lock instead of raising MaintenanceInProgress."""
     config = config or CompactionConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
-    with table.maintenance_lock("compact", run_id):
+    with table.maintenance_lock("compact", run_id, wait_seconds=lock_wait_seconds):
         return _compact_locked(table, config, run_id, max_concurrent_groups)
 
 
@@ -236,17 +239,6 @@ def _compact_locked(
     with open(os.path.join(lineage_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f)
 
-    # survivors = current files that are neither victims nor this run's own
-    # outputs (a re-run of a completed run_id reconstructs new_files from
-    # lineage — without the second exclusion they'd be double-committed)
-    out_set = {norm_path(f.file_path) for f in new_files}
-    survivors = [
-        f
-        for f in table.data_files()
-        if norm_path(f.file_path) not in victim_set
-        and norm_path(f.file_path) not in out_set
-    ]
-
     # rewrite the surviving delete set: victims' deletes die with the victims
     new_delete_entries: list = []
     n_surviving_deletes = 0
@@ -258,17 +250,37 @@ def _compact_locked(
                 surviving, run_id=run_id + "-dv", num_bins=1
             )
 
-    sid = table.commit_snapshot(
-        "compact",
-        survivors + new_files,
-        new_delete_entries,
-        summary={
-            "run_id": run_id,
-            "removed-files": len(plan.victims),
-            "added-files": len(new_files),
-            "added-records": sum(f.record_count for f in new_files),
-            "surviving-delete-positions": n_surviving_deletes,
-            "groups": len(plan.groups),
-        },
-    )
-    return sid
+    # survivors = current files that are neither victims nor this run's own
+    # outputs (a re-run of a completed run_id reconstructs new_files from
+    # lineage — without the second exclusion they'd be double-committed).
+    # Commit rebases on conflict: merges/clusters can't race (same lock) but
+    # lock-free additive appends can — recomputing survivors from fresh state
+    # folds their files in.
+    from moonlink_spark.catalog.catalog import CommitConflict
+
+    out_set = {norm_path(f.file_path) for f in new_files}
+    last_conflict: Exception | None = None
+    for _ in range(5):
+        survivors = [
+            f
+            for f in table.data_files()
+            if norm_path(f.file_path) not in victim_set
+            and norm_path(f.file_path) not in out_set
+        ]
+        try:
+            return table.commit_snapshot(
+                "compact",
+                survivors + new_files,
+                new_delete_entries,
+                summary={
+                    "run_id": run_id,
+                    "removed-files": len(plan.victims),
+                    "added-files": len(new_files),
+                    "added-records": sum(f.record_count for f in new_files),
+                    "surviving-delete-positions": n_surviving_deletes,
+                    "groups": len(plan.groups),
+                },
+            )
+        except CommitConflict as e:
+            last_conflict = e
+    raise last_conflict  # type: ignore[misc]

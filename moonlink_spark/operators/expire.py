@@ -6,22 +6,47 @@ v{N}.metadata.json forever) — the north rule requires real expiry, so this
 is designed from the Iceberg public semantics: retain the last K snapshots,
 then remove files unreachable from ANY retained snapshot.
 
-The reachability sweep is a Spark set-difference (left_anti join) between
-the filesystem listing and the union of retained manifests — at 10^12-image
-scale both sides are DataFrames of paths, partitioned and joined on the
-cluster, never collected. A quarantine pass makes the sweep two-phase so a
-concurrent reader holding an expired snapshot never loses files mid-scan.
+Scale design (what survives 10^12 images):
+
+- REACHABLE side: manifest chunks are JSON arrays — ``spark.read.json``
+  reads them DISTRIBUTED; the full path set never materializes on the
+  driver (only the chunk-name list, which is metadata-sized).
+- LISTING side: the data dir is streamed with ``os.scandir`` in bounded
+  batches (object-store deployments shard the prefix listing the same way);
+  each batch becomes a small DataFrame, and the set-difference is a
+  cluster-side left-anti join.
+- ACT side: orphans are deleted/quarantined by ``foreachPartition`` ON THE
+  EXECUTORS (shared filesystem / object store), so a million-orphan sweep
+  is a parallel delete, not a driver loop. The returned path list is
+  collected only because callers audit it — the mutation itself never
+  round-trips through the driver.
+- SAFETY: two-phase quarantine (first pass moves, second pass purges) plus
+  an *older_than_seconds* grace window so an in-flight commit's
+  freshly-written-but-not-yet-CAS-referenced files (data OR manifest
+  chunks) are never swept. Production should run with hours of grace
+  (Iceberg's remove_orphan_files defaults to 3 days); tests use 0 for
+  determinism.
+
+Manifest GC follows the same rules: a chunk is garbage only if NO snapshot
+of the current metadata AND no snapshot of any RETAINED history version
+(v*.metadata.json, last 10 kept) references it — otherwise time-travel
+loads of retained history versions would dangle. Garbage chunks go through
+the same quarantine/purge cycle as data files.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import time
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from moonlink_spark.catalog.metadata import norm_path
 from moonlink_spark.table import MoonTable
+
+_LIST_BATCH = 200_000  # dirents per listing batch (bounds driver memory)
+_RETAIN_METADATA_VERSIONS = 10
 
 
 def expire_snapshots(table: MoonTable, retain_last: int = 3) -> list[int]:
@@ -43,73 +68,162 @@ def expire_snapshots(table: MoonTable, retain_last: int = 3) -> list[int]:
     return expired
 
 
+def _reachable_df(table: MoonTable) -> DataFrame | None:
+    """Every data/delete path referenced by any retained snapshot, as a
+    DISTRIBUTED DataFrame (manifest chunks parsed on executors)."""
+    meta = table.meta
+    chunk_names: set[str] = set()
+    for s in meta.snapshots:
+        chunk_names.update(s.manifests)
+        chunk_names.update(s.delete_manifests)
+    if not chunk_names:
+        return None
+    paths = [os.path.join(table.catalog.metadata_dir, n) for n in sorted(chunk_names)]
+    raw = table.spark.read.json(paths, multiLine=True)
+    return raw.select(
+        F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias("path")
+    ).distinct()
+
+
+def _listing_batches(data_dir: str):
+    batch: list[str] = []
+    with os.scandir(data_dir) as it:
+        for e in it:
+            n = e.name
+            if n.endswith(".inprogress") or n.endswith(".tmp"):
+                continue
+            batch.append(norm_path(os.path.join(data_dir, n)))
+            if len(batch) >= _LIST_BATCH:
+                yield batch
+                batch = []
+    if batch:
+        yield batch
+
+
 def sweep_orphans(
     table: MoonTable,
     quarantine: bool = True,
     include_metadata: bool = True,
+    older_than_seconds: float = 0.0,
 ) -> list[str]:
     """Remove data/delete files not reachable from any retained snapshot.
 
     Two-phase: first call moves orphans into metadata/quarantine/; a later
-    call with the quarantine already populated purges it. Files still being
-    written (*.inprogress) and lineage records are never touched. Returns
-    the paths acted on."""
+    call with quarantine=False purges it (and deletes fresh orphans
+    directly). Files still being written (*.inprogress), lineage records,
+    and anything younger than *older_than_seconds* are never touched.
+    Returns the paths acted on."""
     spark = table.spark
-    reachable = table.all_reachable_paths()
+    cutoff = time.time() - older_than_seconds
 
-    listing = [
-        norm_path(os.path.join(table.catalog.data_dir, n))
-        for n in os.listdir(table.catalog.data_dir)
-        if not n.endswith(".inprogress") and not n.endswith(".tmp")
-    ]
-    if not listing:
-        return []
-
-    # Spark set-difference: fs_listing LEFT ANTI JOIN reachable
-    fs_df = spark.createDataFrame([(p,) for p in listing], "path string")
-    reach_df = spark.createDataFrame([(p,) for p in sorted(reachable)] or [("",)], "path string")
-    orphans = [
-        r["path"]
-        for r in fs_df.join(F.broadcast(reach_df), "path", "left_anti").collect()
-    ]
+    reach_df = _reachable_df(table)
+    fs_df: DataFrame | None = None
+    for batch in _listing_batches(table.catalog.data_dir):
+        bdf = spark.createDataFrame([(p,) for p in batch], "path string")
+        fs_df = bdf if fs_df is None else fs_df.union(bdf)
 
     qdir = os.path.join(table.catalog.metadata_dir, "quarantine")
     acted: list[str] = []
-    if quarantine:
-        os.makedirs(qdir, exist_ok=True)
-        for p in orphans:
-            dst = os.path.join(qdir, os.path.basename(p))
-            shutil.move(p, dst)
-            acted.append(p)
-    else:
-        for p in orphans:
-            os.unlink(p)
-            acted.append(p)
-        if os.path.isdir(qdir):
-            for n in os.listdir(qdir):
-                fp = os.path.join(qdir, n)
-                os.unlink(fp)
-                acted.append(fp)
+    if fs_df is not None:
+        orphans_df = (
+            fs_df.join(reach_df, "path", "left_anti") if reach_df is not None else fs_df
+        )
+        grace = older_than_seconds
+
+        def _act(rows):
+            import os as _os
+            import shutil as _shutil
+            import time as _time
+
+            for r in rows:
+                p = r["path"]
+                try:
+                    if grace > 0 and _os.path.getmtime(p) >= _time.time() - grace:
+                        continue
+                    if quarantine:
+                        _shutil.move(p, _os.path.join(qdir, _os.path.basename(p)))
+                    else:
+                        _os.unlink(p)
+                except FileNotFoundError:
+                    pass  # another task/phase already acted
+
+        if quarantine:
+            os.makedirs(qdir, exist_ok=True)
+        # the DELETE/MOVE is executed on the executors (parallel, shared fs);
+        # the collected path list is audit output, not the mutation path
+        acted_paths = [r["path"] for r in orphans_df.collect()]
+        if acted_paths:
+            orphans_df.foreachPartition(_act)
+        if older_than_seconds > 0:
+            acted_paths = [p for p in acted_paths if _mtime_before(p, cutoff, missing_ok=True)]
+        acted.extend(acted_paths)
+
+    if not quarantine and os.path.isdir(qdir):
+        # purge phase: anything parked by a previous quarantine pass
+        for n in os.listdir(qdir):
+            fp = os.path.join(qdir, n)
+            if older_than_seconds > 0 and not _mtime_before(fp, cutoff):
+                continue
+            os.unlink(fp)
+            acted.append(fp)
 
     if include_metadata:
-        # prune metadata json versions older than the oldest one that could
-        # still resolve a retained snapshot (keep last 10 for history)
-        versions = table.catalog.metadata_versions()
-        for v in versions[:-10]:
-            os.unlink(os.path.join(table.catalog.metadata_dir, f"v{v}.metadata.json"))
-        # manifest GC: incremental commits share chunks across snapshots, so
-        # a chunk is garbage only when NO retained snapshot references it
-        meta = table.catalog.load()
-        referenced: set[str] = set()
-        for s in meta.snapshots:
+        acted.extend(
+            _gc_metadata(table, quarantine=quarantine, cutoff=cutoff,
+                         grace=older_than_seconds)
+        )
+    return acted
+
+
+def _mtime_before(path: str, cutoff: float, missing_ok: bool = False) -> bool:
+    try:
+        return os.path.getmtime(path) < cutoff
+    except FileNotFoundError:
+        return missing_ok
+
+
+def _gc_metadata(
+    table: MoonTable, quarantine: bool, cutoff: float, grace: float
+) -> list[str]:
+    """Prune old metadata versions and unreferenced manifest chunks.
+
+    A manifest chunk is referenced if ANY snapshot of the current metadata
+    OR of any retained history version (last 10 v*.metadata.json) lists it —
+    incremental commits share chunks across snapshots AND across versions,
+    and a retained history version must stay loadable. Garbage chunks go
+    through the same quarantine / second-pass purge as data files so a
+    concurrent reader of a just-expired snapshot never loses its manifests
+    mid-scan."""
+    acted: list[str] = []
+    mdir = table.catalog.metadata_dir
+    versions = table.catalog.metadata_versions()
+    for v in versions[:-_RETAIN_METADATA_VERSIONS]:
+        os.unlink(os.path.join(mdir, f"v{v}.metadata.json"))
+
+    referenced: set[str] = set()
+    for v in versions[-_RETAIN_METADATA_VERSIONS:]:
+        try:
+            m = table.catalog.load(v)
+        except FileNotFoundError:
+            continue
+        for s in m.snapshots:
             referenced.update(s.manifests)
             referenced.update(s.delete_manifests)
-        for n in os.listdir(table.catalog.metadata_dir):
-            if (
-                (n.startswith("manifest-") or n.startswith("delete-manifest-"))
-                and n.endswith(".json")
-                and n not in referenced
-            ):
-                os.unlink(os.path.join(table.catalog.metadata_dir, n))
-                acted.append(os.path.join(table.catalog.metadata_dir, n))
+
+    qdir = os.path.join(mdir, "quarantine")
+    for n in os.listdir(mdir):
+        if (
+            (n.startswith("manifest-") or n.startswith("delete-manifest-"))
+            and n.endswith(".json")
+            and n not in referenced
+        ):
+            fp = os.path.join(mdir, n)
+            if grace > 0 and not _mtime_before(fp, cutoff):
+                continue  # may belong to an in-flight, not-yet-CAS'd commit
+            if quarantine:
+                os.makedirs(qdir, exist_ok=True)
+                shutil.move(fp, os.path.join(qdir, n))
+            else:
+                os.unlink(fp)
+            acted.append(fp)
     return acted

@@ -35,9 +35,13 @@ from moonlink_spark.catalog.metadata import norm_path
 from moonlink_spark.plans.physical import hash_bin, write_datafiles
 from moonlink_spark.table import MoonTable
 
-# broadcast the deduped change batch below this row count (well under the
-# default 10MB autoBroadcast threshold for key-only projections)
-_BROADCAST_CHANGE_ROWS = 5_000_000
+# broadcast the deduped change-key projection below this ESTIMATED size —
+# gate on bytes, not rows: 5M wide string keys would be a multi-hundred-MB
+# broadcast. Above the gate the probe falls back to a shuffle join (AQE picks
+# sort-merge / shuffled-hash and handles skew).
+_BROADCAST_CHANGE_BYTES = 64 * 1024 * 1024
+# per-key overhead on top of the raw key bytes (UnsafeRow + hash relation)
+_BROADCAST_KEY_OVERHEAD = 32
 
 
 @dataclass
@@ -63,20 +67,12 @@ def last_writer_wins(changes: DataFrame, key: str) -> DataFrame:
     )
 
 
-def merge_into(
-    table: MoonTable,
-    changes: DataFrame,
-    run_id: str | None = None,
-    rows_per_file: int = 131_072,
-) -> MergeResult:
-    """Apply a CDC batch to *table*; returns the committed MergeResult."""
-    run_id = run_id or uuid.uuid4().hex[:12]
-
-    # exactly-once per run_id: a retry after a successful commit must not
-    # re-apply (it would probe its own committed output files). Same pattern
-    # as streaming epoch replay / Iceberg txn-version checks; the retry
-    # window must precede snapshot expiry, like moonlink's WAL truncation
-    # horizon (wal.rs truncates only ≤ the iceberg-persisted LSN).
+def _completed_run(table: MoonTable, run_id: str) -> MergeResult | None:
+    """exactly-once per run_id: a retry after a successful commit must not
+    re-apply (it would probe its own committed output files). Same pattern
+    as streaming epoch replay / Iceberg txn-version checks; the retry
+    window must precede snapshot expiry, like moonlink's WAL truncation
+    horizon (wal.rs truncates only ≤ the iceberg-persisted LSN)."""
     for s in table.snapshots():
         if s.operation == "merge" and s.summary.get("run_id") == run_id:
             return MergeResult(
@@ -85,7 +81,45 @@ def merge_into(
                 deleted_positions=int(s.summary.get("matched-keys", 0)),
                 matched_keys=int(s.summary.get("matched-keys", 0)),
             )
+    return None
 
+
+def merge_into(
+    table: MoonTable,
+    changes: DataFrame,
+    run_id: str | None = None,
+    rows_per_file: int = 131_072,
+    lock_wait_seconds: float = 300.0,
+) -> MergeResult:
+    """Apply a CDC batch to *table*; returns the committed MergeResult.
+
+    Takes the table's maintenance lock: a merge publishes a COMPLETE file
+    list computed from the snapshot it planned against, so racing a
+    concurrent compaction/clustering would silently resurrect that job's
+    victims and drop its outputs. Moonlink serializes every table event
+    through one event loop (table_handler.rs:202-218); the advisory lock is
+    the multi-process analog. Lock-free appends are tolerated: the commit
+    rebase below folds concurrently-appended files into the survivor set."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    done = _completed_run(table, run_id)
+    if done is not None:
+        return done
+    with table.maintenance_lock("merge", run_id, wait_seconds=lock_wait_seconds):
+        # re-check under the lock: another process may have completed this
+        # run_id while we waited
+        done = _completed_run(table, run_id)
+        if done is not None:
+            return done
+        return _merge_locked(table, changes, run_id, rows_per_file)
+
+
+def _merge_locked(
+    table: MoonTable,
+    changes: DataFrame,
+    run_id: str,
+    rows_per_file: int,
+) -> MergeResult:
     key = table.key_columns[0]
     cols = [f.name for f in table.schema.fields]
 
@@ -93,17 +127,26 @@ def merge_into(
     final.cache()
     try:
         # one action materializes the cache AND yields count + commit-LSN
-        # baseline (mooncake_table.rs:1290-1312): the snapshot's flush_lsn =
-        # highest lsn applied, consumed by read-at-LSN scans
+        # baseline + the broadcast byte estimate (mooncake_table.rs:1290-1312:
+        # the snapshot's flush_lsn = highest lsn applied, consumed by
+        # read-at-LSN scans)
         head = final.agg(
-            F.count("*").alias("n"), F.max("lsn").alias("mx")
+            F.count("*").alias("n"),
+            F.max("lsn").alias("mx"),
+            F.avg(F.length(F.col(key).cast("string"))).alias("keylen"),
         ).first()
         n_final = int(head["n"])
-        flush_lsn = int(head["mx"]) if head["mx"] is not None else 0
+        # monotonic clamp: an empty batch (mx None -> parent) or an
+        # out-of-order CDC file whose max lsn is below an earlier batch's
+        # must never REGRESS the flush-lsn — scan_at_lsn(X) would otherwise
+        # pick this snapshot and return rows with lsn > X
+        batch_lsn = int(head["mx"]) if head["mx"] is not None else 0
+        flush_lsn = max(table.current_flush_lsn(), batch_lsn)
 
         # --- position resolution: join IS the index (hash_index.rs analog) ----
         keys_df = final.select(key)
-        if n_final <= _BROADCAST_CHANGE_ROWS:
+        est_bytes = n_final * (float(head["keylen"] or 8) + _BROADCAST_KEY_OVERHEAD)
+        if est_bytes <= _BROADCAST_CHANGE_BYTES:
             keys_df = F.broadcast(keys_df)
 
         # manifest-stats file pruning: a file whose [min,max] key range
@@ -180,34 +223,48 @@ def merge_into(
     # --- atomic commit ----------------------------------------------------
     # a re-run of a completed run_id rewrites the same file names; exclude
     # them from "existing" or they'd be committed twice (same guard as
-    # compaction's survivor set)
+    # compaction's survivor set). The commit REBASES on CommitConflict:
+    # compact/cluster can't race (they take the same lock), but lock-free
+    # appends can — they're purely additive, so re-reading fresh state and
+    # re-committing folds their files into the survivor set (their rows were
+    # not visible at plan time and are correctly left unprobed).
+    from moonlink_spark.catalog.catalog import CommitConflict
+
     out_set = {norm_path(f.file_path) for f in new_data_files}
     out_del = {norm_path(f.file_path) for f in new_delete_files}
-    data_files = [
-        f for f in table.data_files() if norm_path(f.file_path) not in out_set
-    ]
-    prior_deletes = [
-        d for d in table.delete_files() if norm_path(d.file_path) not in out_del
-    ]
-    for f in data_files:
-        extra = per_file_deletes.get(norm_path(f.file_path), 0)
-        if extra:
-            f.deleted_count += int(extra)
-    sid = table.commit_snapshot(
-        "merge",
-        data_files + new_data_files,
-        prior_deletes + new_delete_files,
-        summary={
-            "run_id": run_id,
-            "matched-keys": n_matched,
-            "added-records": n_inserts,
-            "added-files": len(new_data_files),
-            "added-delete-files": len(new_delete_files),
-            "flush-lsn": flush_lsn,
-            "probed-files": len(probe_files),
-            "total-files": len(all_files),
-        },
-    )
+    last_conflict: Exception | None = None
+    for _ in range(5):
+        data_files = [
+            f for f in table.data_files() if norm_path(f.file_path) not in out_set
+        ]
+        prior_deletes = [
+            d for d in table.delete_files() if norm_path(d.file_path) not in out_del
+        ]
+        for f in data_files:
+            extra = per_file_deletes.get(norm_path(f.file_path), 0)
+            if extra:
+                f.deleted_count += int(extra)
+        try:
+            sid = table.commit_snapshot(
+                "merge",
+                data_files + new_data_files,
+                prior_deletes + new_delete_files,
+                summary={
+                    "run_id": run_id,
+                    "matched-keys": n_matched,
+                    "added-records": n_inserts,
+                    "added-files": len(new_data_files),
+                    "added-delete-files": len(new_delete_files),
+                    "flush-lsn": flush_lsn,
+                    "probed-files": len(probe_files),
+                    "total-files": len(all_files),
+                },
+            )
+            break
+        except CommitConflict as e:
+            last_conflict = e
+    else:
+        raise last_conflict  # type: ignore[misc]
     return MergeResult(
         snapshot_id=sid,
         inserted_rows=n_inserts,

@@ -22,13 +22,32 @@ def optimize(
     run_id: str | None = None,
     cluster_by: list[str] | None = None,
     curve: str = "zorder",
+    target_bytes: int | None = None,
+    lock_wait_seconds: float = 0.0,
 ) -> int | None:
+    """mode="full" with *cluster_by* is the FUSED compact+cluster: one
+    read→zkey→shuffle→write pass that bin-packs every file to ~target size,
+    applies all deletion vectors inline, AND lays rows out in curve order —
+    committing as a single snapshot. Half the I/O of running compact then
+    cluster back-to-back (each is a full-table rewrite)."""
+    from moonlink_spark.catalog.metadata import COMPACT_TARGET_BYTES
+
+    tb = target_bytes or COMPACT_TARGET_BYTES
     if mode == "data":
-        return compact(table, CompactionConfig(mode="best_effort"), run_id=run_id)
+        return compact(
+            table, CompactionConfig(mode="best_effort", target_bytes=tb),
+            run_id=run_id, lock_wait_seconds=lock_wait_seconds,
+        )
     if mode == "index":
         return rewrite_manifests(table)
     if mode == "full":
         if cluster_by:
-            return cluster(table, by=cluster_by, curve=curve, run_id=run_id)
-        return compact(table, CompactionConfig(mode="force_full"), run_id=run_id)
+            return cluster(
+                table, by=cluster_by, curve=curve, run_id=run_id,
+                target_bytes=tb, lock_wait_seconds=lock_wait_seconds,
+            )
+        return compact(
+            table, CompactionConfig(mode="force_full", target_bytes=tb),
+            run_id=run_id, lock_wait_seconds=lock_wait_seconds,
+        )
     raise ValueError(f"unknown optimize mode {mode!r} (data|index|full)")

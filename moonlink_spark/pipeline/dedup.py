@@ -158,9 +158,17 @@ def minhash_lsh_pairs(
     wrong output. Hot buckets (boilerplate) are the skew axis — AQE
     skew-join splits them."""
     rows_per_band = num_perms // bands
-    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    sh.cache()
-    wide = _minhash_wide(sh, num_perms)
+    # STAGE (localCheckpoint), don't lazy-cache: shingles feed the signature
+    # aggregation AND the verification kernel, and buckets/candidates each
+    # feed multiple consumers — lazy caches re-derive the whole upstream
+    # chain inside one mega-job and the plan grows multiplicatively
+    # (measured at sf0.1: cache 8-15s, checkpoint 4.7-5.8s; round-1 driver
+    # saw 26.8s under load). Checkpointing truncates lineage so every
+    # consumer reads the materialized rows. On a cluster, executor-local
+    # checkpoint storage is the cheap choice; use reliable checkpointing if
+    # executors are preemptible.
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col).localCheckpoint(eager=True)
+    wide = _minhash_wide(sh, num_perms).localCheckpoint(eager=True)
 
     # all B bucket ids in ONE pass over the wide row (explode, not a B-way
     # union — a union would recompute the aggregation per band)
@@ -170,11 +178,6 @@ def minhash_lsh_pairs(
         sig = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
         bucket_exprs.append(hex_int(F.concat_ws("|", F.lit(str(band)), sig)))
     buckets = wide.select("id", F.explode(F.array(*bucket_exprs)).alias("bucket"))
-    # buckets feeds both sides of the self-join and candidates feed three
-    # consumers (ids for A, ids for B, final join) — without caching, each
-    # consumer re-derives the whole shingle->minhash->bucket chain and the
-    # plan grows multiplicatively (measured 69s -> ~12s at sf0.1)
-    buckets.cache()
 
     l = buckets.alias("l")
     r = buckets.alias("r")
@@ -182,10 +185,10 @@ def minhash_lsh_pairs(
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    candidates.cache()
 
-    # verification kernel: exact jaccard over the cached shingles, restricted
+    # verification kernel: exact jaccard over the staged shingles, restricted
     # to candidate docs (semi-join) — shingles are NOT recomputed
     cand_ids = candidates.select(F.col("doc_a").alias("id")).union(
         candidates.select(F.col("doc_b").alias("id"))

@@ -264,6 +264,174 @@ def write_datafiles(
     return out
 
 
+def write_datafiles_rolling(
+    df: DataFrame,
+    *,
+    data_dir: str,
+    run_id: str,
+    rows_per_file: int,
+    compression: str = "snappy",
+    compression_level: int | None = None,
+) -> list[DataFile]:
+    """SINGLE-PASS ingest writer: no planner bins, no pre-count — each input
+    partition streams its Arrow batches into parquet files that ROLL OVER at
+    *rows_per_file* (the mem-slice flush threshold, mooncake_table_config.rs
+    :159). Used by append so bulk ingest reads its input exactly once
+    (the bin-count path needs a df.count() first — the upstream, e.g. a
+    generator or a join, would execute twice).
+
+    File names are {run_id}-p{partition}-{seq}; Spark's task-retry semantics
+    keep this safe (a re-executed task rewrites the same names via
+    .inprogress + rename).
+    """
+    import pyspark.sql.types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    payload_fields = [f for f in df.schema.fields if not f.name.startswith("_")]
+    statless = {f.name for f in payload_fields if f.dataType.typeName() in _STATLESS_TYPES}
+    arrow_schema = to_arrow_schema(T.StructType(payload_fields))
+    payload_cols = [f.name for f in payload_fields]
+
+    if compression not in (None, "none", "snappy"):
+        codec_by_col = {
+            f.name: ("snappy" if f.dataType.typeName() in _STATLESS_TYPES else compression)
+            for f in payload_fields
+        }
+        level_by_col = (
+            {
+                f.name: compression_level
+                for f in payload_fields
+                if f.dataType.typeName() not in _STATLESS_TYPES
+            }
+            if compression_level is not None
+            else None
+        )
+    else:
+        codec_by_col = compression
+        level_by_col = compression_level
+
+    def _write(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        writer = None
+        path = ""
+        count = 0
+        stats: dict = {}
+        done: list[dict] = []
+
+        def _update_stats(rb: pa.RecordBatch) -> None:
+            for name, col in zip(rb.schema.names, rb.columns):
+                st = stats.setdefault(name, {"min": None, "max": None, "null_count": 0})
+                st["null_count"] += col.null_count
+                if name in statless or col.null_count == len(col) or len(col) == 0:
+                    continue
+                try:
+                    mm = pc.min_max(col)
+                except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                    continue
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                if mn is not None and (st["min"] is None or mn < st["min"]):
+                    st["min"] = mn
+                if mx is not None and (st["max"] is None or mx > st["max"]):
+                    st["max"] = mx
+
+        def _close() -> None:
+            nonlocal writer, count, stats
+            if writer is None:
+                return
+            writer.close()
+            os.rename(path + ".inprogress", path)
+            done.append(
+                {
+                    "bin": pid,
+                    "file_path": path,
+                    "record_count": count,
+                    "file_size_bytes": os.path.getsize(path),
+                    "stats": json.dumps(
+                        {
+                            c: {
+                                "min": _json_safe(s["min"]),
+                                "max": _json_safe(s["max"]),
+                                "null_count": s["null_count"],
+                            }
+                            for c, s in stats.items()
+                        }
+                    ),
+                }
+            )
+            writer = None
+            count = 0
+            stats = {}
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            payload = batch.select(payload_cols)
+            if payload.schema != arrow_schema:
+                payload = payload.cast(arrow_schema)
+            off = 0
+            while off < len(payload):
+                if writer is None:
+                    path = os.path.join(
+                        data_dir, f"{run_id}-p{pid:05d}-{seq:04d}.parquet"
+                    )
+                    seq += 1
+                    writer = pq.ParquetWriter(
+                        path + ".inprogress",
+                        arrow_schema,
+                        compression=codec_by_col,
+                        compression_level=level_by_col,
+                    )
+                take = min(len(payload) - off, rows_per_file - count)
+                piece = payload.slice(off, take)
+                writer.write_batch(piece)
+                _update_stats(piece)
+                count += take
+                off += take
+                if count >= rows_per_file:
+                    _close()
+        _close()
+        if not done:
+            return
+        out_schema = pa.schema(
+            [
+                ("bin", pa.int32()),
+                ("file_path", pa.string()),
+                ("record_count", pa.int64()),
+                ("file_size_bytes", pa.int64()),
+                ("stats", pa.string()),
+            ]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([int(r["bin"]) for r in done], pa.int32()),
+                pa.array([r["file_path"] for r in done], pa.string()),
+                pa.array([int(r["record_count"]) for r in done], pa.int64()),
+                pa.array([int(r["file_size_bytes"]) for r in done], pa.int64()),
+                pa.array([r["stats"] for r in done], pa.string()),
+            ],
+            schema=out_schema,
+        )
+
+    lineage_rows = df.mapInArrow(_write, schema=LINEAGE_SCHEMA).collect()
+    out = [
+        DataFile(
+            file_path=r["file_path"],
+            record_count=int(r["record_count"]),
+            file_size_bytes=int(r["file_size_bytes"]),
+            stats=json.loads(r["stats"]),
+        )
+        for r in lineage_rows
+    ]
+    out.sort(key=lambda d: d.file_path)
+    return out
+
+
 def num_bins_for(total_bytes: int, target_bytes: int) -> int:
     """How many output files for *total_bytes* of live data at *target_bytes*
     per file (bin-packing bin count)."""

@@ -41,6 +41,10 @@ from moonlink_spark.plans.physical import hash_bin, write_datafiles
 # broadcast position-delete sets up to this size during scans
 _BROADCAST_DELETES_BYTES = 256 * 1024 * 1024
 
+# sentinel: "caller did not pass expected_parent_snapshot" (None is a valid
+# expectation — committing against an empty table)
+_UNSET = object()
+
 
 class MaintenanceInProgress(Exception):
     """Another maintenance job holds this table's advisory lock."""
@@ -71,6 +75,8 @@ class MoonTable:
             schema_json=schema.json(),
             key_columns=list(key_columns),
             properties=properties or {},
+            field_ids={f.name: i + 1 for i, f in enumerate(schema.fields)},
+            next_field_id=len(schema.fields) + 1,
         )
         t.catalog.commit(meta, expected_version=0)
         return t
@@ -130,6 +136,7 @@ class MoonTable:
         delete_files: list[DeleteFile],
         summary: dict | None = None,
         force_rewrite: bool = False,
+        expected_parent_snapshot: int | None | object = _UNSET,
     ) -> int:
         """Commit the *complete* new file state as a snapshot via catalog CAS.
         Returns the new snapshot id.
@@ -140,11 +147,33 @@ class MoonTable:
         (reference behaviour: data_file_manifest_manager.rs:54-100 drops
         removed entries and rolls at 25k). *force_rewrite* coalesces
         everything into freshly rolled chunks (the rewrite_manifests job).
+
+        *expected_parent_snapshot*: when given, the commit fails with
+        CommitConflict if the table's current snapshot is no longer that one.
+        Jobs that compute a COMPLETE file list from a snapshot (merge,
+        compact, cluster) must pass the snapshot they planned against —
+        otherwise a concurrent commit in the plan→commit window would be
+        silently clobbered (its files dropped from the published list) even
+        though the version CAS itself succeeds.
         """
+        from moonlink_spark.catalog.catalog import CommitConflict
         from moonlink_spark.catalog.manifests import incremental_reuse
 
         meta = self.catalog.load()
         version = self.catalog.current_version()
+        if expected_parent_snapshot is not _UNSET and (
+            meta.current_snapshot_id != expected_parent_snapshot
+        ):
+            raise CommitConflict(
+                f"planned against snapshot {expected_parent_snapshot} but "
+                f"current is {meta.current_snapshot_id} under {self.root}"
+            )
+        # stamp freshly-written files with the current field-id mapping
+        # (files re-read from manifests already carry their write-time ids)
+        if meta.field_ids:
+            for f in data_files:
+                if f.field_ids is None:
+                    f.field_ids = dict(meta.field_ids)
         seq = meta.last_sequence_number + 1
         parent = meta.current_snapshot()
         max_entries = int(meta.properties.get("manifest.max-entries", MANIFEST_MAX_ENTRIES))
@@ -207,37 +236,65 @@ class MoonTable:
         them (reference: batch_ingestion.rs:20-166 + fast-append in
         iceberg_table_syncer.rs:723-838).
 
-        File sizing follows the mem-slice flush threshold (131 072 rows,
-        mooncake_table_config.rs:159) unless the caller passes explicit bins.
+        SINGLE-PASS: files roll over at the mem-slice flush threshold
+        (131 072 rows, mooncake_table_config.rs:159) inside the write task
+        itself — no pre-count, so the input (often a generator or join) is
+        scanned exactly once. Callers with a planned layout pass explicit
+        bins instead (one reduce task per bin).
         """
         run_id = run_id or uuid.uuid4().hex[:12]
-        key = self.key_columns[0] if self.key_columns else df.columns[0]
         if explicit_bins is not None:
-            binned = explicit_bins
-            nb = num_bins or 1
+            new_files = write_datafiles(
+                explicit_bins,
+                data_dir=self.catalog.data_dir,
+                run_id=run_id,
+                num_bins=num_bins or 1,
+                compression="snappy",
+            )
         else:
-            n = df.count()
-            nb = max(1, -(-n // rows_per_file))
-            binned = df.withColumn("_bin", hash_bin(key, nb))
-        new_files = write_datafiles(
-            binned,
-            data_dir=self.catalog.data_dir,
-            run_id=run_id,
-            num_bins=nb,
-            compression="snappy",
-        )
-        existing = self.data_files()
-        sid = self.commit_snapshot(
+            from moonlink_spark.plans.physical import write_datafiles_rolling
+
+            new_files = write_datafiles_rolling(
+                df,
+                data_dir=self.catalog.data_dir,
+                run_id=run_id,
+                rows_per_file=rows_per_file,
+                compression="snappy",
+            )
+        return self._commit_additive(
             "append",
-            existing + new_files,
-            self.delete_files(),
+            new_files,
             summary={
                 "added-files": len(new_files),
                 "added-records": sum(f.record_count for f in new_files),
                 "run_id": run_id,
             },
         )
-        return sid
+
+    def _commit_additive(
+        self, operation: str, new_files: list[DataFile], summary: dict,
+        max_retries: int = 5,
+    ) -> int:
+        """Commit purely-additive file sets with CAS rebase-retry: appends
+        never invalidate a concurrent commit (they only add files), so on a
+        CommitConflict the loser re-reads fresh state and re-commits its new
+        files on top — the etag-retry semantics of file_catalog.rs:639-665.
+        Jobs that REMOVE files (merge/compact/cluster) must not use this;
+        they re-plan under the maintenance lock instead."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self.commit_snapshot(
+                    operation,
+                    self.data_files() + new_files,
+                    self.delete_files(),
+                    summary=summary,
+                )
+            except CommitConflict as e:
+                last = e
+        raise last  # type: ignore[misc]
 
     def add_files(self, paths: list[str], run_id: str | None = None) -> int:
         """Register EXISTING parquet files as-is — no read, no rewrite, no
@@ -264,10 +321,9 @@ class MoonTable:
             )
             for p in norm
         ]
-        return self.commit_snapshot(
+        return self._commit_additive(
             "add-files",
-            self.data_files() + new_files,
-            self.delete_files(),
+            new_files,
             summary={
                 "run_id": run_id,
                 "added-files": len(new_files),
@@ -277,6 +333,14 @@ class MoonTable:
 
     # ------------------------------------------------------------- scan
     def _read_data(self, files: list[DataFile], with_position: bool) -> DataFrame:
+        """Read *files* projected through the CURRENT schema by FIELD ID:
+        a column is read from a file only if the file's write-time id for
+        that name equals the table's current id (Iceberg field-id semantics,
+        iceberg_table_manager.rs:88-89) — otherwise it reads as NULL. This
+        makes drop-then-re-add safe: the re-added column has a fresh id, so
+        pre-drop files can't resurrect stale physical values. Files group by
+        their provided-column set (bounded by the number of schema versions),
+        one parquet reader per group, unioned."""
         schema = self.schema
         if not files:
             df = self.spark.createDataFrame([], schema)
@@ -285,14 +349,38 @@ class MoonTable:
                     "_pos", F.lit(None).cast("long")
                 )
             return df
-        reader = self.spark.read.schema(schema).parquet(*[f.file_path for f in files])
-        if with_position:
-            reader = reader.select(
-                "*",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
-                F.col("_metadata.row_index").alias("_pos"),
-            )
-        return reader
+
+        cur_ids = self.meta.field_ids
+        all_names = tuple(f.name for f in schema.fields)
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in files:
+            if not cur_ids or f.field_ids is None:
+                provided = all_names  # legacy: assume current schema
+            else:
+                provided = tuple(
+                    n for n in all_names if f.field_ids.get(n) == cur_ids.get(n)
+                )
+            groups.setdefault(provided, []).append(f)
+
+        order = list(all_names) + (["_fp", "_pos"] if with_position else [])
+        parts: list[DataFrame] = []
+        for provided, fs in groups.items():
+            sub = T.StructType([fld for fld in schema.fields if fld.name in provided])
+            reader = self.spark.read.schema(sub).parquet(*[f.file_path for f in fs])
+            if with_position:
+                reader = reader.select(
+                    "*",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
+            for fld in schema.fields:
+                if fld.name not in provided:
+                    reader = reader.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+            parts.append(reader.select(*order))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
 
     def _read_deletes(self, dfiles: list[DeleteFile]) -> DataFrame | None:
         if not dfiles:
@@ -339,41 +427,65 @@ class MoonTable:
         return df
 
     # ----------------------------------------------------- maintenance lock
-    def maintenance_lock(self, job: str, run_id: str):
-        """Advisory mutual exclusion for background maintenance: at most one
-        compaction/clustering in flight per table (table_handler.rs:526-609
-        serializes maintenance through the event loop; here an O_EXCL lock
-        file carries {job, run_id} so a second scheduler sees who holds it).
+    def maintenance_lock(self, job: str, run_id: str, wait_seconds: float = 0.0):
+        """Advisory mutual exclusion for table-mutating maintenance: at most
+        one merge/compaction/clustering in flight per table
+        (table_handler.rs:526-609 serializes maintenance through the event
+        loop; here an O_EXCL lock file carries {job, run_id} so a second
+        scheduler sees who holds it).
 
-        Re-entrant for the SAME run_id (a resumed run re-acquires its own
-        lock); stale locks are the operator's to clear (lock file names the
-        holder). Returns a context manager."""
+        Re-entrant for the SAME run_id: a resumed run (crash, retry) takes
+        OWNERSHIP of the existing lock and releases it on exit — otherwise a
+        resumed run that completes would leave the lock file behind forever.
+        With *wait_seconds* > 0 a blocked acquirer polls until the holder
+        releases (bounded), instead of raising immediately. Stale locks from
+        a dead holder that never resumes are the operator's to clear (the
+        lock file names the holder). Returns a context manager."""
         import contextlib
         import json as _json
+        import time as _time
 
         lock_path = os.path.join(self.catalog.metadata_dir, "maintenance.lock")
 
         @contextlib.contextmanager
         def _lock():
-            created = False
-            try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                created = True
-                with os.fdopen(fd, "w") as f:
-                    _json.dump({"job": job, "run_id": run_id}, f)
-            except FileExistsError:
-                with open(lock_path) as f:
-                    holder = _json.load(f)
-                if holder.get("run_id") != run_id:
-                    raise MaintenanceInProgress(
-                        f"{holder.get('job')} run {holder.get('run_id')} holds "
-                        f"the maintenance lock on {self.root}"
-                    ) from None
-                # re-entrant re-acquire: the original holder owns the release
+            owner = False
+            deadline = _time.monotonic() + wait_seconds
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    owner = True
+                    with os.fdopen(fd, "w") as f:
+                        _json.dump({"job": job, "run_id": run_id}, f)
+                        f.flush()
+                    break
+                except FileExistsError:
+                    pass
+                # the holder may release (unlink) or still be writing its
+                # {job, run_id} payload between our O_EXCL failure and this
+                # read — both are transient: retry the acquire
+                try:
+                    with open(lock_path) as f:
+                        holder = _json.load(f)
+                except (FileNotFoundError, _json.JSONDecodeError):
+                    _time.sleep(0.01)
+                    continue
+                if holder.get("run_id") == run_id:
+                    # re-entrant re-acquire after a crash of the same run:
+                    # this process now owns the release
+                    owner = True
+                    break
+                if _time.monotonic() < deadline:
+                    _time.sleep(0.05)
+                    continue
+                raise MaintenanceInProgress(
+                    f"{holder.get('job')} run {holder.get('run_id')} holds "
+                    f"the maintenance lock on {self.root}"
+                ) from None
             try:
                 yield
             finally:
-                if created:
+                if owner:
                     try:
                         os.unlink(lock_path)
                     except FileNotFoundError:
@@ -382,6 +494,18 @@ class MoonTable:
         return _lock()
 
     # --------------------------------------------------------- read-at-LSN
+    def current_flush_lsn(self) -> int:
+        """The flush-lsn the current snapshot is visible at: the last
+        explicitly recorded flush-lsn in sequence order (snapshots that don't
+        advance the LSN — compact/cluster/append — inherit it). Used to clamp
+        merge commits monotonic: an empty or out-of-order CDC batch must
+        never REGRESS the flush-lsn, or scan_at_lsn(X) would return rows with
+        lsn > X (mooncake_table.rs:432-445 keeps flush_lsn monotonic)."""
+        eff = 0
+        for s in self.meta.snapshots:  # sequence order
+            eff = int(s.summary.get("flush-lsn", eff))
+        return eff
+
     def snapshot_for_lsn(self, lsn: int) -> Snapshot | None:
         """The read-at-LSN protocol (read_state_manager.rs:59-164): return
         the latest snapshot whose flush LSN ≤ *lsn* — a scan at LSN X sees

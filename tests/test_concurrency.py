@@ -1,0 +1,184 @@
+"""Multi-writer behaviour: merge vs maintenance serialization, additive CAS
+rebase, lock recovery after a crashed run, and flush-lsn monotonicity.
+
+Moonlink serializes every table event through one per-table event loop
+(table_handler.rs:202-218); the multi-process analogs here are (a) the
+advisory maintenance lock taken by merge/compact/cluster and (b) the
+catalog CAS with a rebase-retry for purely-additive commits
+(file_catalog.rs:639-665 etag-retry semantics)."""
+
+import json
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators.compaction import CompactionConfig, compact
+from moonlink_spark.operators.merge import last_writer_wins, merge_into
+from moonlink_spark.sources.fixtures import (
+    create_images_table,
+    generate_changes_df,
+    generate_images_df,
+)
+
+COLS = ["image_id", "caption", "phash"]
+N = 800
+
+
+def _rows(table):
+    return sorted(tuple(r) for r in table.scan(columns=COLS).collect())
+
+
+def _lww_oracle(spark, table, changes):
+    base = table.scan(snapshot_id=table.snapshots()[0].snapshot_id)
+    allr = base.withColumn("op", F.lit("I")).withColumn("lsn", F.lit(0).cast("long")) \
+        .select(*changes.columns)
+    final = last_writer_wins(allr.union(changes), "image_id")
+    return sorted(
+        tuple(r)
+        for r in final.filter(F.col("op") != "D").select(*COLS).collect()
+    )
+
+
+def test_merge_vs_compact_two_threads(spark, tmp_path):
+    """A merge and a compaction launched concurrently must serialize on the
+    maintenance lock: whichever loses the race blocks (not errors), and the
+    final row set is exactly the LWW oracle — no resurrected victims, no
+    dropped outputs."""
+    table = create_images_table(spark, str(tmp_path / "t"), N, seed=42)
+    changes = generate_changes_df(spark, N, 120, seed=7)
+    changes.cache()
+    oracle = _lww_oracle(spark, table, changes)
+
+    errs = []
+    start = threading.Barrier(2)
+
+    def _merge():
+        try:
+            start.wait()
+            merge_into(table, changes, run_id="m1", lock_wait_seconds=120)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def _compact():
+        try:
+            start.wait()
+            compact(
+                table,
+                CompactionConfig(mode="force_full", target_bytes=64 * 1024),
+                run_id="c1",
+                lock_wait_seconds=120,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=_merge), threading.Thread(target=_compact)]
+    [t.start() for t in ts]
+    [t.join(timeout=600) for t in ts]
+    changes.unpersist()
+    assert not errs, errs
+    # both committed, in either order
+    ops = [s.operation for s in table.snapshots()]
+    assert "merge" in ops and "compact" in ops
+    assert _rows(table) == oracle
+    # lock released
+    assert not os.path.exists(
+        os.path.join(table.catalog.metadata_dir, "maintenance.lock")
+    )
+
+
+def test_concurrent_appends_cas_rebase(spark, tmp_path):
+    """Two lock-free appends racing the catalog CAS: the loser rebases on
+    fresh state and re-commits; both file sets land, nothing is clobbered."""
+    table = create_images_table(spark, str(tmp_path / "t"), 300, seed=42)
+    a = generate_images_df(spark, 100, seed=1).withColumn(
+        "image_id", F.concat(F.lit("a-"), F.col("image_id"))
+    )
+    b = generate_images_df(spark, 150, seed=2).withColumn(
+        "image_id", F.concat(F.lit("b-"), F.col("image_id"))
+    )
+
+    errs = []
+    start = threading.Barrier(2)
+
+    def _append(df, rid):
+        try:
+            start.wait()
+            table.append(df, run_id=rid)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=_append, args=(a, "ra")),
+        threading.Thread(target=_append, args=(b, "rb")),
+    ]
+    [t.start() for t in ts]
+    [t.join(timeout=600) for t in ts]
+    assert not errs, errs
+    assert table.scan().count() == 300 + 100 + 150
+    paths = [f.file_path for f in table.data_files()]
+    assert len(paths) == len(set(paths))
+
+
+def test_crashed_run_lock_recovery(spark, tmp_path):
+    """A lock file left behind by a crashed run: the SAME run_id re-acquires,
+    takes ownership, and RELEASES on exit — other jobs proceed afterwards
+    (previously the resumed run never unlinked and the table was wedged)."""
+    table = create_images_table(spark, str(tmp_path / "t"), 300, seed=42)
+    lock_path = os.path.join(table.catalog.metadata_dir, "maintenance.lock")
+    with open(lock_path, "w") as f:  # simulate a crash mid-run
+        json.dump({"job": "compact", "run_id": "crashed"}, f)
+
+    sid = compact(
+        table, CompactionConfig(mode="force_full", target_bytes=64 * 1024),
+        run_id="crashed",
+    )
+    assert sid is not None
+    assert not os.path.exists(lock_path)  # resumed run released its own lock
+    # table is not wedged: a different run acquires cleanly
+    with table.maintenance_lock("compact", "next"):
+        pass
+
+
+def test_commit_conflict_on_stale_parent(spark, tmp_path):
+    """commit_snapshot(expected_parent_snapshot=...) must fail when the
+    current snapshot moved after planning (defense-in-depth under the lock)."""
+    from moonlink_spark.catalog.catalog import CommitConflict
+
+    table = create_images_table(spark, str(tmp_path / "t"), 300, seed=42)
+    planned_against = table.current_snapshot_id()
+    # someone else commits in the plan->commit window
+    table.append(generate_images_df(spark, 50, seed=3).withColumn(
+        "image_id", F.concat(F.lit("x-"), F.col("image_id"))), run_id="other")
+    with pytest.raises(CommitConflict):
+        table.commit_snapshot(
+            "merge", table.data_files(), table.delete_files(),
+            expected_parent_snapshot=planned_against,
+        )
+
+
+def test_flush_lsn_monotonic(spark, tmp_table_root):
+    """An empty batch or an out-of-order batch with lower LSNs must never
+    regress the flush-lsn: scan_at_lsn(X) may only show rows with lsn ≤ X."""
+    table = create_images_table(spark, tmp_table_root, 300, seed=42)
+    changes = generate_changes_df(spark, 300, 60, seed=9, lsn_start=5_000_000)
+    merge_into(table, changes, run_id="hi")
+    hi_lsn = table.current_flush_lsn()
+    assert hi_lsn >= 5_000_000
+    rows_at_hi = sorted(tuple(r) for r in table.scan_at_lsn(hi_lsn, columns=COLS).collect())
+
+    # empty batch: flush-lsn must NOT regress to 0
+    empty = changes.filter(F.lit(False))
+    merge_into(table, empty, run_id="empty")
+    assert table.current_flush_lsn() == hi_lsn
+
+    # late pickup of an older CDC file (max lsn below hi): clamp holds
+    late = generate_changes_df(spark, 300, 40, seed=11, lsn_start=1_000)
+    merge_into(table, late, run_id="late")
+    assert table.current_flush_lsn() == hi_lsn
+    # read at hi_lsn resolves (and includes the late rows, which all carry
+    # lsn < hi — nothing with lsn > hi can appear)
+    got = table.scan_at_lsn(hi_lsn, columns=COLS)
+    assert got.count() >= len(rows_at_hi) - 40

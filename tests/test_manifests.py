@@ -25,10 +25,13 @@ def _mk(spark, root, props=None):
 
 
 def _append(spark, t, lo, hi, files):
+    # the single-pass rolling writer emits one file per non-empty input
+    # partition (rolling at rows_per_file within each) — pin the file count
+    # via explicit partitioning, which is how a planner controls layout
     df = spark.range(lo, hi).select(
         F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
     )
-    t.append(df, rows_per_file=max(1, (hi - lo) // files))
+    t.append(df.repartition(files), rows_per_file=1 << 20)
 
 
 def test_append_reuses_parent_chunks(spark, tmp_table_root):

@@ -190,11 +190,23 @@ def _make_table(spark: SparkSession, sf_dir: str, name: str, rows_per_file: int 
 
 # ------------------------------------------------------------ engine queries
 
+def _hex_bytes(df: DataFrame) -> DataFrame:
+    """Project the binary payload as lower(hex(bytes)) — digest equality still
+    proves the byte-exact round-trip, and the driver's canonicalizer can sort
+    strings (raw bytearray columns are unhashable in its pandas sort)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "image_id", F.lower(F.hex("bytes")).alias("bytes_hex"),
+        "w", "h", "fmt", "caption", "phash",
+    )
+
+
 def q_bulk_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row 1/5/7: bulk ingest + fast-append commit + snapshot scan (bytes
-    included — proves binary round-trip through our parquet writer)."""
+    round-trip proven via hex digest of the binary payload)."""
     t = _make_table(spark, sf_dir, "bulk_append")
-    return t.scan()
+    return _hex_bytes(t.scan())
 
 
 def q_merge_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,7 +392,7 @@ def q_add_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_root("add_files_tbl")
     t = MoonTable.create(spark, root, IMAGES_SCHEMA, key_columns=["image_id"])
     t.add_files(sorted(glob.glob(os.path.join(ext, "*.parquet"))), run_id="af1")
-    return t.scan()
+    return _hex_bytes(t.scan())
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,6 +437,36 @@ def q_optimize_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     sid = optimize(t, mode="data", run_id="o1")
     assert sid is not None, "best-effort compaction should trigger on 80% small files"
     return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_optimize_full_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED compact+cluster (optimize mode=full with cluster_by): after a
+    MERGE leaves an 80%-small + position-delete layout, ONE read→zkey→
+    shuffle→write pass bin-packs, applies the DVs inline, and Z-orders —
+    committed as a single snapshot. Row set must equal the LWW oracle."""
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.operators.optimize import optimize
+
+    t = _make_table(spark, sf_dir, "optimize_fused", rows_per_file=512)
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    sid = optimize(t, mode="full", cluster_by=["phash", "w", "h"], run_id="f1")
+    assert sid is not None
+    assert len(t.delete_files()) == 0  # DVs were applied inline
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def q_drop_readd_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id projection (iceberg_table_manager.rs:88-89): drop `fmt`,
+    re-add it under the same name — pre-drop files must read NULL (id-based
+    projection), never resurrect stale physical values."""
+    import pyspark.sql.types as T
+
+    from moonlink_spark.operators.alter import alter_table
+
+    t = _make_table(spark, sf_dir, "drop_readd")
+    alter_table(t, drop_columns=["fmt"])
+    alter_table(t, add_columns=[T.StructField("fmt", T.StringType(), True)])
+    return t.scan(columns=["image_id", "w", "h", "caption", "phash", "fmt"])
 
 
 def q_alter_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,10 +572,23 @@ def q_embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs form: the small-N / verification kernel."""
     from moonlink_spark.pipeline.similarity import embedding_near_dups
 
     _load_views(spark, sf_dir)
     return embedding_near_dups(spark.table("embeddings"), threshold=0.4)
+
+
+def q_embed_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed form — the 100 TB path: the self-join shuffles on
+    the bucket id instead of exploding N²; near-identical vectors share every
+    hyperplane side so true duplicates are retained with prob -> 1."""
+    from moonlink_spark.pipeline.similarity import embedding_near_dups
+
+    _load_views(spark, sf_dir)
+    return embedding_near_dups(
+        spark.table("embeddings"), threshold=0.4, n_planes=_LSH_PLANES
+    )
 
 
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,6 +895,13 @@ WITH pairs AS (
          round({dot} / ({norm('q')} * {norm('c')}), 6) AS cos
   FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id)
 SELECT DISTINCT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""",
+        "embed_near_dups_lsh": f"""
+WITH bucketed AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+         round({dot} / ({norm('q')} * {norm('c')}), 6) AS cos
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+SELECT DISTINCT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""",
         "events_window_agg": """
 SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -936,7 +998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key_kernel": q_hilbert_key_kernel,
         "read_at_lsn": q_read_at_lsn,
         "optimize_data": q_optimize_data,
+        "optimize_full_cluster": q_optimize_full_cluster,
         "alter_schema_evolution": q_alter_schema_evolution,
+        "drop_readd_column": q_drop_readd_column,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -948,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann": q_embed_lsh_ann,
         "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dups": q_embed_near_dups,
+        "embed_near_dups_lsh": q_embed_near_dups_lsh,
         "events_window_agg": q_events_window_agg,
         "streaming_cdc_merge": q_streaming_cdc_merge,
         "events_stream_window": q_events_stream_window,
@@ -962,7 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = "duck"
-    base_images = f"WITH images AS ({_images_select(d)}) SELECT * FROM images"
+    base_images = (f"WITH images AS ({_images_select(d)}) "
+                   f"SELECT image_id, lower(hex(bytes)) AS bytes_hex, "
+                   f"w, h, fmt, caption, phash FROM images")
     base_no_bytes = (f"WITH images AS ({_images_select(d)}) "
                      f"SELECT {_NO_BYTES} FROM images")
     lww = _lww_select(d)
@@ -987,9 +1054,13 @@ FROM images""",
         "zorder_key_kernel": _zorder_sql(),
         "read_at_lsn": _lww_select(d, lsn_lt=_LSN_CUT),
         "optimize_data": base_no_bytes,
+        "optimize_full_cluster": lww,
         "alter_schema_evolution": f"""
 WITH images AS ({_images_select(d)})
 SELECT image_id, w, h, caption, phash, CAST(NULL AS INT) AS score FROM images""",
+        "drop_readd_column": f"""
+WITH images AS ({_images_select(d)})
+SELECT image_id, w, h, caption, phash, CAST(NULL AS {_s(d)}) AS fmt FROM images""",
         # hilbert_key_kernel, image_decode_stats: no SQL analog -> rows-only
     }
     # cluster queries rewrite the BASE table (no merge): oracle = base rows

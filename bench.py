@@ -74,9 +74,20 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # ---- headline: merge -> compact -> cluster -----------------------------
+    # ---- headline: merge -> FUSED compact+cluster --------------------------
+    # the fused op (one read -> zkey -> shuffle -> write pass) bin-packs the
+    # 80%-small-files layout, applies the merge's deletion vectors inline,
+    # and Z-orders — a single full-table rewrite where round 1 paid two.
+    # It runs FIRST so it sees the true post-merge small-file layout; the
+    # split compact/cluster follow for round-over-round comparability (same
+    # bytes, input is the already-maintained table).
+    from moonlink_spark.operators.optimize import optimize
+
     changes = spark.read.parquet(changes_dir)
     timed("merge_cdc", lambda: merge_into(table, changes, run_id="bm1"))
+    timed("compact_cluster_fused", lambda: optimize(
+        table, mode="full", cluster_by=["phash", "w", "h"], run_id="bf1",
+        target_bytes=target_bytes))
     timed("compact", lambda: compact(
         table, CompactionConfig(mode="force_full", target_bytes=target_bytes),
         run_id="bc1", max_concurrent_groups=max(4, cpus // 2)))
@@ -87,9 +98,16 @@ def main() -> None:
         expire_snapshots(table, retain_last=1), sweep_orphans(table, quarantine=False)))
     rows_final = table.scan().count()
 
-    maint_sec = timings["compact"] + timings["cluster_zorder"]
-    extras["maint_gb_per_s"] = round(2 * live_bytes / max(maint_sec, 1e-9) / 1e9, 4)
-    extras["maint_images_per_s"] = round(2 * rows_final / max(maint_sec, 1e-9), 1)
+    # headline throughput: full maintenance of the table (every live byte
+    # read, deletes applied, every byte rewritten clustered) per second of
+    # the FUSED pass. Round 1 reported 2*live/(compact+cluster) — the same
+    # "bytes rewritten / wall" formula; the fused op rewrites the table once,
+    # so its denominator is the whole maintenance wall.
+    fused_sec = timings["compact_cluster_fused"]
+    extras["maint_gb_per_s"] = round(live_bytes / max(fused_sec, 1e-9) / 1e9, 4)
+    extras["maint_images_per_s"] = round(rows_final / max(fused_sec, 1e-9), 1)
+    split_sec = timings["compact"] + timings["cluster_zorder"]
+    extras["maint_gb_per_s_split"] = round(2 * live_bytes / max(split_sec, 1e-9) / 1e9, 4)
     extras["table_gb"] = round(live_bytes / 1e9, 4)
     extras["n_images"] = n_images
 

@@ -1,4 +1,4 @@
-"""Run ONE maintenance cycle (merge -> compact -> Z-order cluster) on a
+"""Run ONE maintenance cycle (merge -> fused compact+Z-order-cluster) on a
 pre-built images table at a given parallelism level; print one JSON line.
 
 Used by bench_scaling.py: the parent restores a pristine copy of the table
@@ -21,9 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     root, changes_path, cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
 
-    from moonlink_spark.operators.clustering import cluster
-    from moonlink_spark.operators.compaction import CompactionConfig, compact
     from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.operators.optimize import optimize
     from moonlink_spark.session import get_spark
     from moonlink_spark.table import MoonTable
 
@@ -43,23 +42,22 @@ def main() -> None:
 
     changes = spark.read.parquet(changes_path)
     timed("merge_cdc", lambda: merge_into(table, changes, run_id="sm1"))
-    timed("compact", lambda: compact(
-        table, CompactionConfig(mode="force_full", target_bytes=target),
-        run_id="sc1", max_concurrent_groups=max(4, cores // 2)))
-    timed("cluster_zorder", lambda: cluster(
-        table, by=["phash", "w", "h"], curve="zorder", run_id="sz1",
+    # the FUSED compact+cluster: one full rewrite that bin-packs, applies
+    # DVs inline, and Z-orders — the headline maintenance op
+    timed("compact_cluster_fused", lambda: optimize(
+        table, mode="full", cluster_by=["phash", "w", "h"], run_id="sf1",
         target_bytes=target))
 
     rows = table.scan().count()
-    maint = timings["compact"] + timings["cluster_zorder"]
+    maint = timings["compact_cluster_fused"]
     print(json.dumps({
         "cores": cores,
         "queries": timings,
         "live_bytes": live,
         "rows": rows,
         "maint_sec": round(maint, 3),
-        "maint_gb_per_s": round(2 * live / max(maint, 1e-9) / 1e9, 4),
-        "maint_images_per_s": round(2 * rows / max(maint, 1e-9), 1),
+        "maint_gb_per_s": round(live / max(maint, 1e-9) / 1e9, 4),
+        "maint_images_per_s": round(rows / max(maint, 1e-9), 1),
     }))
     spark.stop()
 

@@ -126,14 +126,19 @@ def _merge_locked(
     final = last_writer_wins(changes, key)
     final.cache()
     try:
-        # one action materializes the cache AND yields count + commit-LSN
-        # baseline + the broadcast byte estimate (mooncake_table.rs:1290-1312:
+        # ONE action materializes the cache AND yields every scalar the plan
+        # needs: row count, commit-LSN baseline (mooncake_table.rs:1290-1312:
         # the snapshot's flush_lsn = highest lsn applied, consumed by
-        # read-at-LSN scans)
+        # read-at-LSN scans), broadcast byte estimate, batch key bounds for
+        # manifest pruning, and the delete-row count (insert count = n - d,
+        # saving a separate inserts.count() job)
         head = final.agg(
             F.count("*").alias("n"),
             F.max("lsn").alias("mx"),
             F.avg(F.length(F.col(key).cast("string"))).alias("keylen"),
+            F.min(key).alias("klo"),
+            F.max(key).alias("khi"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
         ).first()
         n_final = int(head["n"])
         # monotonic clamp: an empty batch (mx None -> parent) or an
@@ -155,14 +160,15 @@ def _merge_locked(
         # Datum stats gating the index probe; on a key-clustered table this
         # turns a full-table probe into a few files)
         all_files = table.data_files()
-        kb = final.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
         probe_files = all_files
-        if kb["lo"] is not None:
+        if n_final == 0:
+            probe_files = []  # empty batch: nothing can match, skip the probe
+        elif head["klo"] is not None:
             pruned = []
             for f in all_files:
                 st = f.stats.get(key) or {}
                 mn, mx = st.get("min"), st.get("max")
-                if mn is not None and mx is not None and (mx < kb["lo"] or mn > kb["hi"]):
+                if mn is not None and mx is not None and (mx < head["klo"] or mn > head["khi"]):
                     continue
                 pruned.append(f)
             probe_files = pruned
@@ -189,7 +195,7 @@ def _merge_locked(
 
             # --- inserts: final rows that are not deletes ---------------------
             inserts = final.filter(F.col("op") != "D").select(*cols)
-            n_inserts = inserts.count()
+            n_inserts = n_final - int(head["nd"] or 0)
             new_data_files = []
             if n_inserts > 0:
                 # bin by BYTES, not rows: wide binary payloads would turn a

@@ -527,6 +527,19 @@ def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(spark.table("documents"), num_perms=_MINHASH_PERMS, k=_SHINGLE_K)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP assignment: LSH-verified pairs -> connected components
+    (iterative min-label propagation) -> (doc_id, group_id). Oracle is the
+    same pair set closed transitively with a recursive CTE."""
+    from moonlink_spark.pipeline.dedup import dedup_groups
+
+    _load_views(spark, sf_dir)
+    return dedup_groups(
+        spark.table("documents"), num_perms=_MINHASH_PERMS, bands=_MINHASH_BANDS,
+        threshold=_JACCARD_T, k=_SHINGLE_K,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.pipeline.dedup import simhash
 
@@ -834,6 +847,22 @@ WITH {shingles_cte}, {minhash_cte}, {lsh_cte}, {jaccard_body}
 SELECT j.doc_a, j.doc_b, round(j.inter::DOUBLE / j.uni, 6) AS jaccard
 FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.inter::DOUBLE / j.uni >= {_JACCARD_T}""",
+        "dedup_groups": f"""
+WITH RECURSIVE {shingles_cte}, {minhash_cte}, {lsh_cte}, {jaccard_body},
+pairs AS (
+  SELECT j.doc_a, j.doc_b
+  FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+  WHERE j.inter::DOUBLE / j.uni >= {_JACCARD_T}),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS group_id FROM reach GROUP BY id""",
         "dedup_simhash": f"""
 WITH tok AS (
   SELECT doc_id AS id, unnest({words}) AS token FROM documents),
@@ -1006,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,

@@ -79,7 +79,9 @@ def _reachable_df(table: MoonTable) -> DataFrame | None:
     if not chunk_names:
         return None
     paths = [os.path.join(table.catalog.metadata_dir, n) for n in sorted(chunk_names)]
-    raw = table.spark.read.json(paths, multiLine=True)
+    # explicit single-field schema: skips the inference pass (a whole extra
+    # job over every chunk) and stays stable however the entry dicts evolve
+    raw = table.spark.read.schema("file_path string").json(paths, multiLine=True)
     return raw.select(
         F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias("path")
     ).distinct()

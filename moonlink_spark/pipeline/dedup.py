@@ -198,6 +198,78 @@ def minhash_lsh_pairs(
     return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iterations: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list: every node is
+    labeled with the MIN node id reachable from it. Returns (id, group_id).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its direct neighbors' labels; converges in O(graph
+    diameter) rounds — near-dup clusters are shallow (duplicates of
+    duplicates), so a handful of rounds suffices. Each round is one
+    shuffle-join + aggregate, with labels localCheckpoint'd so the plan
+    stays O(1) deep instead of O(rounds). For adversarial long-chain graphs
+    at extreme scale, the published large-star/small-star alternating
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) halves the diameter per round — same join/agg
+    primitives, drop-in replacement."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbl"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lbl").alias("group_id"))
+
+
+def dedup_groups(
+    df: DataFrame,
+    num_perms: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate GROUP assignment: MinHash+LSH verified pairs →
+    connected components → (doc_id, group_id = min doc id of the cluster).
+    Only docs participating in at least one verified near-dup pair appear;
+    the keeper of each group is the doc whose id equals group_id — the
+    dedup policy a training-data pipeline actually executes (keep one doc
+    per duplicate CLUSTER, not per pairwise match, since near-dup is not
+    transitive at the pair level)."""
+    pairs = minhash_lsh_pairs(
+        df, num_perms=num_perms, bands=bands, threshold=threshold, k=k,
+        text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

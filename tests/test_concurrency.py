@@ -182,3 +182,41 @@ def test_flush_lsn_monotonic(spark, tmp_table_root):
     # lsn < hi — nothing with lsn > hi can appear)
     got = table.scan_at_lsn(hi_lsn, columns=COLS)
     assert got.count() >= len(rows_at_hi) - 40
+
+
+def test_three_interleaved_merges_converge(spark, tmp_path):
+    """Three writers merge KEY-disjoint slices of one CDC batch from three
+    threads (distinct run_ids, racing for the lock). Key-disjoint because a
+    merge applies its batch unconditionally over the table state (CDC
+    batches arrive in LSN order per key, as in moonlink's event stream) —
+    with disjoint keys the apply order across writers provably can't
+    matter, so the final row set must equal applying the WHOLE batch once."""
+    table = create_images_table(spark, str(tmp_path / "t"), N, seed=42)
+    changes = generate_changes_df(spark, N, 150, seed=13)
+    changes.cache()
+    oracle = _lww_oracle(spark, table, changes)
+
+    slices = [
+        changes.filter(F.pmod(F.xxhash64("image_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    errs = []
+    start = threading.Barrier(3)
+
+    def _merge(df, rid):
+        try:
+            start.wait()
+            merge_into(table, df, run_id=rid, lock_wait_seconds=300)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=_merge, args=(s, f"w{i}"))
+        for i, s in enumerate(slices)
+    ]
+    [t.start() for t in ts]
+    [t.join(timeout=900) for t in ts]
+    changes.unpersist()
+    assert not errs, errs
+    assert [s.operation for s in table.snapshots()].count("merge") == 3
+    assert _rows(table) == oracle

@@ -150,3 +150,29 @@ def test_multimodal_stubs_raise(spark):
         sample_video_frames(None)
     with pytest.raises(NotImplementedError):
         extract_audio_features(None)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3 collapses to one group labeled by its min id; separate
+    pair (7,9) forms its own; docs with no edges don't appear."""
+    from moonlink_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 9), (3, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["id"], r["group_id"]) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 1), (7, 7), (9, 7)}
+
+
+def test_dedup_groups_planted_cluster(spark):
+    """Exact+near dup docs 0/1/2 form ONE group keyed by min id 0."""
+    from moonlink_spark.pipeline.dedup import dedup_groups
+
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup_groups(_docs(spark), num_perms=16, bands=8, threshold=0.3, k=3).collect()
+    }
+    assert groups.get(0) == 0 and groups.get(1) == 0 and groups.get(2) == 0
+    assert 3 not in groups and 4 not in groups

@@ -665,6 +665,24 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(spark.table("events"), gap_minutes=30)
 
 
+def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stateful sessionization (applyInPandasWithState): events
+    staged as time-ordered files, drained via Trigger.AvailableNow with one
+    file per micro-batch so per-user sessions genuinely cross state-store
+    boundaries. Output must equal the batch sessionize oracle row-for-row."""
+    from moonlink_spark.streaming.sessions import (
+        sessionize_stream,
+        stage_time_ordered_files,
+    )
+
+    src = _fresh_root("sess_stream_src")
+    ckpt = _fresh_root("sess_stream_ckpt")
+    stage_time_ordered_files(
+        spark, os.path.join(sf_dir, "events.parquet"), src, n_files=3
+    )
+    return sessionize_stream(spark, src, ckpt, gap_minutes=30)
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.pipeline.text import token_stats
 
@@ -958,6 +976,24 @@ SELECT user_id, session_seq,
        min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id, session_seq""",
+        # the streaming stateful twin produces the identical session rows
+        "events_sessionize_stream": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_seq""",
         "embed_lsh_ann": f"""
 WITH bucketed AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings),
 scored AS (
@@ -1047,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc_merge": q_streaming_cdc_merge,
         "events_stream_window": q_events_stream_window,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_stream": q_events_sessionize_stream,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

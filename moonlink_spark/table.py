@@ -531,6 +531,15 @@ class MoonTable:
             raise ValueError(f"no snapshot visible at lsn {lsn}")
         return self.scan(snapshot_id=snap.snapshot_id, columns=columns)
 
+    def create_or_replace_view(self, name: str, snapshot_id: int | None = None) -> None:
+        """Expose the (snapshot-isolated) scan as a Spark SQL temp view, so
+        any SQL client of the session queries the table like a catalog
+        table — the Spark-native analog of moonlink serving external engines
+        through scan_table / the DataFusion TableProvider (SURVEY §2 rows
+        27-28): here Spark SQL IS the external query engine, and predicate
+        pushdown / column pruning flow into the parquet scan via Catalyst."""
+        self.scan(snapshot_id=snapshot_id).createOrReplaceTempView(name)
+
     # ------------------------------------------------------------- lifecycle
     def drop(self) -> None:
         """Drop the table: delete data, metadata, and the table directory

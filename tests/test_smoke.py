@@ -93,3 +93,24 @@ def test_pixels_roundtrip_psnr():
     assert np.array_equal(decode_image(encode_image(px, "png")), px)
     lossy = decode_image(encode_image(px, "jpeg"))
     assert psnr(px, lossy) >= 40.0
+
+
+def test_sql_view_surface(spark, tmp_table_root):
+    """create_or_replace_view: plain Spark SQL over the snapshot-isolated
+    scan, including time travel to a pre-merge snapshot."""
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.sources.fixtures import create_images_table, generate_changes_df
+
+    t = create_images_table(spark, tmp_table_root, 400, seed=42)
+    pre = t.current_snapshot_id()
+    merge_into(t, generate_changes_df(spark, 400, 80, seed=5), run_id="m1")
+
+    t.create_or_replace_view("imgs")
+    t.create_or_replace_view("imgs_pre", snapshot_id=pre)
+    cur = spark.sql("SELECT count(*) AS n FROM imgs").first()["n"]
+    old = spark.sql("SELECT count(*) AS n FROM imgs_pre").first()["n"]
+    assert old == 400
+    assert cur == t.scan().count()
+    # predicate + projection flow through SQL
+    w = spark.sql("SELECT max(w) AS mw FROM imgs WHERE fmt = 'png'").first()["mw"]
+    assert w is not None

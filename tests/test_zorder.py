@@ -108,3 +108,28 @@ def test_sql_zorder_matches_numpy(spark):
         got[r["i"]] = r["k"]
     want = curve_key([x, y, z], bounds, curve="zorder", bits=16)
     assert np.array_equal(got, want)
+
+
+def test_sql_zorder_nan_parity(spark):
+    """TRUE NaN doubles (not null): Spark's greatest/least order NaN as
+    largest, so without the explicit NaN->null guard the SQL path would
+    quantize NaN to maxv while numpy maps it to cell 0. Both paths must
+    agree on cell 0."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.functions.zorder import zorder_key_column
+
+    df = spark.sql("""
+        SELECT id,
+               CASE WHEN id % 3 = 0 THEN double('NaN') ELSE CAST(id AS DOUBLE) END AS x,
+               CAST(id * 7 % 100 AS DOUBLE) AS y
+        FROM range(300)
+    """)
+    bounds = [(0.0, 299.0), (0.0, 99.0)]
+    col = zorder_key_column([F.col("x"), F.col("y")], bounds, bits=16)
+    got = {r["id"]: r["k"] for r in df.select("id", col.alias("k")).collect()}
+
+    x = np.array([np.nan if i % 3 == 0 else float(i) for i in range(300)])
+    y = np.array([float(i * 7 % 100) for i in range(300)])
+    want = curve_key([x, y], bounds, curve="zorder", bits=16)
+    assert all(got[i] == want[i] for i in range(300))

@@ -439,6 +439,25 @@ def q_optimize_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_scan_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog read (CDC-out): the row-level changes a MERGE
+    committed, read back from the snapshot span — inserts are the merge's
+    post-image rows, deletes are the positional pre-images. A compaction in
+    the span must contribute NOTHING (layout-only)."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.operators.changes import scan_changes
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "scan_changes", rows_per_file=2048)
+    pre = t.current_snapshot_id()
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    compact(t, CompactionConfig(mode="force_full"), run_id="c1")  # layout-only
+    ch = scan_changes(t, pre, columns=_NO_BYTES.split(", "))
+    return ch.select(F.col("_change_op").alias("change_op"), *_NO_BYTES.split(", "))
+
+
 def q_optimize_full_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUSED compact+cluster (optimize mode=full with cluster_by): after a
     MERGE leaves an 80%-small + position-delete layout, ONE read→zkey→
@@ -1062,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_kernel": q_zorder_key_kernel,
         "hilbert_key_kernel": q_hilbert_key_kernel,
         "read_at_lsn": q_read_at_lsn,
+        "scan_changes_cdc": q_scan_changes_cdc,
         "optimize_data": q_optimize_data,
         "optimize_full_cluster": q_optimize_full_cluster,
         "alter_schema_evolution": q_alter_schema_evolution,
@@ -1122,6 +1142,22 @@ FROM images""",
         "read_at_lsn": _lww_select(d, lsn_lt=_LSN_CUT),
         "optimize_data": base_no_bytes,
         "optimize_full_cluster": lww,
+        # changelog: I = merge's post-image rows (final batch rows that are
+        # not deletes); D = pre-images of every BASE row whose key the batch
+        # touched (the positional probe deletes matched keys for any op)
+        "scan_changes_cdc": f"""
+WITH images AS ({_images_select(d)}),
+changes AS ({_changes_select(d)}),
+final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY image_id
+        ORDER BY lsn DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END
+    ) AS rn FROM changes) WHERE rn = 1)
+SELECT 'I' AS change_op, {_NO_BYTES} FROM final WHERE op <> 'D'
+UNION ALL
+SELECT 'D' AS change_op, i.image_id, i.w, i.h, i.fmt, i.caption, i.phash
+FROM images i WHERE i.image_id IN (SELECT image_id FROM final)""",
         "alter_schema_evolution": f"""
 WITH images AS ({_images_select(d)})
 SELECT image_id, w, h, caption, phash, CAST(NULL AS INT) AS score FROM images""",

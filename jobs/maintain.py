@@ -1,0 +1,106 @@
+"""spark-submit entry point: one maintenance cycle over a MoonTable.
+
+The north-rule deployment shape — the engine ships as spark-submit jobs
+(cluster config comes from spark-submit / cluster defaults, NOT from code):
+
+    zip -r moonlink_spark.zip moonlink_spark
+    spark-submit --py-files moonlink_spark.zip \\
+        jobs/maintain.py --table /warehouse/images \\
+        [--changes /landing/cdc-batch.parquet] \\
+        [--cluster-by phash,w,h --curve zorder] \\
+        [--mode full|data|split] [--expire-retain 3] [--run-id batch-42]
+
+Steps (each optional, each an atomic snapshot commit, all idempotent per
+run_id so a re-submitted failed job resumes from lineage):
+  1. MERGE the staged CDC batch (if --changes)
+  2. optimize: mode=full + --cluster-by -> FUSED compact+cluster;
+     mode=data -> best-effort compaction; mode=split -> compact then cluster
+  3. expire snapshots + sweep orphans (if --expire-retain)
+Prints one JSON line of timings + lineage-derived metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--changes", default=None)
+    ap.add_argument("--cluster-by", default=None)
+    ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    ap.add_argument("--mode", default="full", choices=["full", "data", "split"])
+    ap.add_argument("--expire-retain", type=int, default=None)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--sweep-grace-seconds", type=float, default=3 * 24 * 3600)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # no master/memory here: spark-submit owns cluster sizing. Local smoke
+    # runs work too (spark-submit --master local[4]).
+    spark = (
+        SparkSession.builder.appName("moonlink-maintain")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+    from moonlink_spark.operators.clustering import cluster
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+    from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.operators.optimize import optimize
+    from moonlink_spark.table import MoonTable
+
+    table = MoonTable.load(spark, args.table)
+    run_id = args.run_id
+    by = args.cluster_by.split(",") if args.cluster_by else None
+    out: dict = {"table": args.table, "steps": {}}
+
+    def timed(name, fn):
+        t0 = time.time()
+        r = fn()
+        out["steps"][name] = round(time.time() - t0, 3)
+        return r
+
+    if args.changes:
+        changes = spark.read.parquet(args.changes)
+        res = timed("merge", lambda: merge_into(
+            table, changes, run_id=(run_id and f"{run_id}-m") or None,
+            lock_wait_seconds=3600,
+        ))
+        out["merge"] = {"inserted": res.inserted_rows, "deleted": res.deleted_positions}
+
+    if args.mode == "split":
+        timed("compact", lambda: compact(
+            table, CompactionConfig(mode="force_full"),
+            run_id=(run_id and f"{run_id}-c") or None, lock_wait_seconds=3600))
+        if by:
+            timed("cluster", lambda: cluster(
+                table, by=by, curve=args.curve,
+                run_id=(run_id and f"{run_id}-z") or None, lock_wait_seconds=3600))
+    else:
+        timed("optimize", lambda: optimize(
+            table, mode=args.mode, cluster_by=by, curve=args.curve,
+            run_id=(run_id and f"{run_id}-o") or None, lock_wait_seconds=3600))
+
+    if args.expire_retain is not None:
+        timed("expire", lambda: expire_snapshots(table, retain_last=args.expire_retain))
+        swept = timed("sweep", lambda: sweep_orphans(
+            table, quarantine=True, older_than_seconds=args.sweep_grace_seconds))
+        out["swept_files"] = len(swept)
+
+    out["rows"] = table.scan().count()
+    out["files"] = len(table.data_files())
+    out["snapshot"] = table.current_snapshot_id()
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,7 +9,7 @@ plain dataclasses serialized to JSON.
 Layout under a table root:
 
     <root>/data/<run>-b<bin>.parquet          data files
-    <root>/data/<run>-del-b<bin>.parquet      position-delete files (file_path, pos)
+    <root>/data/del-<run>-b<bin>.parquet      deletion vectors (bitmap rows per target file)
     <root>/metadata/v<N>.metadata.json        table metadata versions
     <root>/metadata/version-hint.text         current version pointer (CAS)
     <root>/metadata/manifest-<uuid>-<i>.json  chunked manifest files
@@ -69,15 +69,27 @@ class DataFile:
 
 @dataclass
 class DeleteFile:
-    """A position-delete parquet file: columns (file_path string, pos long).
+    """A deletion-vector parquet file.
 
-    Spark-native stand-in for moonlink's puffin deletion-vector blobs
-    (reference: table/iceberg/deletion_vector.rs; delete_vector.rs:9-15).
+    format="bitmap" (current writer): one row per TARGET data file —
+    (file_path string, words array<bigint>, n_positions long) where `words`
+    is the packed 64-bit-word bitmap over row positions. The parquet-native
+    stand-in for moonlink's roaring-bitmap puffin blobs (deletion_vector.rs;
+    delete_vector.rs:9-15): a 131072-row file costs ≤16 KB of bitmap
+    regardless of delete ratio, ~20× smaller at heavy ratios than the
+    (file_path, pos) row form, and expands back to positions JVM-side at
+    scan time (no Python).
+
+    format="positions" (legacy): (file_path string, pos long) rows.
     """
 
     file_path: str
     record_count: int
     file_size_bytes: int
+    format: str = "positions"
+    # total deleted positions across the file (drives the scan-side
+    # broadcast gate: the EXPANDED join relation is what must fit)
+    position_count: int = 0
 
 
 @dataclass

@@ -85,9 +85,7 @@ def scan_changes(
                     .withColumn("_change_snapshot_id", F.lit(s.snapshot_id).cast("long"))
                 )
             if added_dels:
-                dels = spark.read.schema("file_path string, pos long").parquet(
-                    *[d.file_path for d in added_dels]
-                )
+                dels = table.read_delete_rows(added_dels)
                 # the new deletes name their target files — scan only those
                 targets = {
                     norm_path(r["file_path"])

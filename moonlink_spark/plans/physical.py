@@ -150,6 +150,10 @@ def write_datafiles(
                 st["null_count"] += col.null_count
                 if name in statless or col.null_count == len(col) or len(col) == 0:
                     continue
+                if pa.types.is_integer(col.type):
+                    s = pc.sum(col).as_py()
+                    if s is not None:
+                        st["sum"] = int(st.get("sum") or 0) + int(s)
                 try:
                     mm = pc.min_max(col)
                 except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
@@ -210,6 +214,7 @@ def write_datafiles(
                     "min": _json_safe(s["min"]),
                     "max": _json_safe(s["max"]),
                     "null_count": s["null_count"],
+                    **({"sum": int(s["sum"])} if s.get("sum") is not None else {}),
                 }
                 for c, s in stats[b].items()
             }

@@ -38,8 +38,10 @@ from moonlink_spark.catalog.metadata import (
 )
 from moonlink_spark.plans.physical import hash_bin, write_datafiles
 
-# broadcast position-delete sets up to this size during scans
+# broadcast position-delete sets up to this EXPANDED size during scans
 _BROADCAST_DELETES_BYTES = 256 * 1024 * 1024
+# per-(file_path, pos) row estimate in a broadcast hash relation
+_DELETE_ROW_EST_BYTES = 96
 
 # sentinel: "caller did not pass expected_parent_snapshot" (None is a valid
 # expectation — committing against an empty table)
@@ -382,13 +384,53 @@ class MoonTable:
             out = out.union(p)
         return out
 
-    def _read_deletes(self, dfiles: list[DeleteFile]) -> DataFrame | None:
+    def read_delete_rows(self, dfiles: list[DeleteFile]) -> DataFrame | None:
+        """The logical (file_path, pos) rows of a set of deletion-vector
+        files, whatever their at-rest format. Bitmap files expand JVM-side:
+        posexplode the word array, then unpack each non-zero word's set bits
+        with a codegen'd transform+filter — no Python worker."""
         if not dfiles:
             return None
-        deletes = self.spark.read.schema("file_path string, pos long").parquet(
-            *[d.file_path for d in dfiles]
-        )
-        if sum(d.file_size_bytes for d in dfiles) <= _BROADCAST_DELETES_BYTES:
+        parts: list[DataFrame] = []
+        legacy = [d for d in dfiles if d.format != "bitmap"]
+        bitmap = [d for d in dfiles if d.format == "bitmap"]
+        if legacy:
+            parts.append(
+                self.spark.read.schema("file_path string, pos long").parquet(
+                    *[d.file_path for d in legacy]
+                )
+            )
+        if bitmap:
+            raw = self.spark.read.schema(
+                "file_path string, words array<bigint>, n_positions long"
+            ).parquet(*[d.file_path for d in bitmap])
+            exp = raw.select(
+                "file_path", F.posexplode("words").alias("widx", "word")
+            ).filter(F.col("word") != 0)
+            bits = F.expr(
+                "filter(transform(sequence(0, 63), "
+                "b -> CASE WHEN (shiftright(word, b) & 1) = 1 "
+                "THEN widx * 64 + CAST(b AS BIGINT) END), x -> x IS NOT NULL)"
+            )
+            parts.append(
+                exp.select("file_path", F.explode(bits).alias("pos"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def _read_deletes(self, dfiles: list[DeleteFile]) -> DataFrame | None:
+        deletes = self.read_delete_rows(dfiles)
+        if deletes is None:
+            return None
+        # gate on the EXPANDED relation (position count), not at-rest bytes:
+        # a 16KB bitmap can expand to 65k join rows
+        est = sum(
+            d.position_count if d.format == "bitmap" else d.record_count
+            for d in dfiles
+        ) * _DELETE_ROW_EST_BYTES
+        if est <= _BROADCAST_DELETES_BYTES:
             deletes = F.broadcast(deletes)
         return deletes
 
@@ -564,18 +606,47 @@ class MoonTable:
     def write_position_deletes(
         self, deletes_df: DataFrame, run_id: str, num_bins: int = 1
     ) -> list[DeleteFile]:
-        """Persist (file_path, pos) rows as position-delete parquet files
-        (the puffin-DV analog, deletion_vector.rs)."""
-        binned = deletes_df.select(
-            F.col("file_path").cast("string"), F.col("pos").cast("long")
-        ).withColumn("_bin", hash_bin("file_path", num_bins))
+        """Persist (file_path, pos) rows as BITMAP deletion-vector parquet:
+        one row per target data file carrying the packed 64-bit-word bitmap
+        of deleted positions (the roaring-puffin analog, deletion_vector.rs
+        / delete_vector.rs:9-15). ~20× smaller at rest than (path, pos) rows
+        at heavy delete ratios; fixed ≤16 KB per 131072-row target file.
+        Built with one groupBy(file_path) applyInPandas (vectorized numpy
+        packbits-style fold); read back JVM-side by read_delete_rows."""
+        import numpy as np
+        import pandas as pd
+
+        def _to_bitmap(pdf: pd.DataFrame) -> pd.DataFrame:
+            pos = np.unique(pdf["pos"].to_numpy().astype(np.int64))
+            words = np.zeros(int(pos[-1]) // 64 + 1, dtype=np.uint64)
+            np.bitwise_or.at(
+                words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+            return pd.DataFrame(
+                {
+                    "file_path": [str(pdf["file_path"].iloc[0])],
+                    "words": [words.view(np.int64)],
+                    "n_positions": [int(len(pos))],
+                }
+            )
+
+        bitmaps = (
+            deletes_df.select(
+                F.col("file_path").cast("string"), F.col("pos").cast("long")
+            )
+            .groupBy("file_path")
+            .applyInPandas(
+                _to_bitmap, "file_path string, words array<bigint>, n_positions long"
+            )
+            .withColumn("_bin", hash_bin("file_path", num_bins))
+        )
         files = write_datafiles(
-            binned,
+            bitmaps,
             data_dir=self.catalog.data_dir,
             run_id=run_id,
             num_bins=num_bins,
             compression="snappy",
-            sort_within=["file_path", "pos"],
+            sort_within=["file_path"],
             file_prefix="del-",
         )
         return [
@@ -583,6 +654,10 @@ class MoonTable:
                 file_path=f.file_path,
                 record_count=f.record_count,
                 file_size_bytes=f.file_size_bytes,
+                format="bitmap",
+                position_count=int(
+                    (f.stats.get("n_positions") or {}).get("sum") or 0
+                ),
             )
             for f in files
         ]

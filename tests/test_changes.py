@@ -81,3 +81,27 @@ def test_changelog_update_decomposition(spark, tmp_table_root):
             r["_change_op"] for r in ch.filter(F.col("image_id") == k).collect()
         )
         assert ops == ["D", "I"], (k, ops)
+
+
+def test_bitmap_deletion_vectors_roundtrip_and_size(spark, tmp_table_root):
+    """Bitmap DVs: (file_path, pos) -> packed words -> expanded positions is
+    lossless, position_count is recorded, and at-rest size stays ~constant
+    (bitmap) instead of growing linearly with delete count."""
+    from pyspark.sql import functions as F
+
+    t = create_images_table(spark, tmp_table_root, 400, seed=42)
+    target = t.data_files()[0].file_path
+    # a heavy delete ratio: 8000 positions against one (synthetic) target
+    pos = spark.range(0, 16000, 2).select(
+        F.lit(target).alias("file_path"), F.col("id").alias("pos")
+    )
+    dfiles = t.write_position_deletes(pos, run_id="dv1")
+    assert all(d.format == "bitmap" for d in dfiles)
+    assert sum(d.position_count for d in dfiles) == 8000
+    # at rest: one bitmap row of 16000/64 words ≈ 2KB, far below the ~8000
+    # rows the positions form would need
+    assert sum(d.file_size_bytes for d in dfiles) < 64 * 1024
+    got = sorted(
+        r["pos"] for r in t.read_delete_rows(dfiles).collect()
+    )
+    assert got == list(range(0, 16000, 2))

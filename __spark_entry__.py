@@ -730,6 +730,35 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spark.table("documents"))
 
 
+_SAMPLE_SEED = 7
+_SAMPLE_RATE = 0.25
+_STRATA_RATES = {"click": 0.5, "view": 0.1, "error": 0.0}
+_STRATA_DEFAULT = 0.05
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based Bernoulli sample of the corpus — stable
+    across cluster sizes/partitionings, map-side only (no shuffle)."""
+    from moonlink_spark.pipeline.sampling import deterministic_sample
+
+    _load_views(spark, sf_dir)
+    return deterministic_sample(
+        spark.table("documents"), rate=_SAMPLE_RATE, seed=_SAMPLE_SEED
+    ).select("doc_id")
+
+
+def q_events_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (the corpus-mixing knob):
+    downsample hot event types, drop one entirely, default-rate the rest."""
+    from moonlink_spark.pipeline.sampling import stratified_sample
+
+    _load_views(spark, sf_dir)
+    return stratified_sample(
+        spark.table("events"), rates=_STRATA_RATES, strata_col="event_type",
+        default_rate=_STRATA_DEFAULT, seed=_SAMPLE_SEED, id_col="event_id",
+    ).select("event_id", "event_type")
+
+
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: real encoded pixels through Arrow-batched
     mapInPandas decode. No SQL oracle (rows-only); pixel/phash invariants
@@ -1039,6 +1068,15 @@ FROM scored""",
 SELECT doc_id, {hx(norm_text)} AS fingerprint,
        CAST({hx(norm_text)} % 65536 AS INT) AS fp_bucket
 FROM documents""",
+        "corpus_sample": f"""
+SELECT doc_id FROM documents
+WHERE {hx(f"('sample-{_SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR))")} % 1000000
+      < {int(_SAMPLE_RATE * 1_000_000)}""",
+        "events_sample_stratified": f"""
+SELECT event_id, event_type FROM events
+WHERE {hx(f"('sample-{_SAMPLE_SEED}|' || CAST(event_id AS VARCHAR))")} % 1000000
+      < (CASE {' '.join(f"WHEN event_type = '{v}' THEN {int(r * 1_000_000)}" for v, r in sorted(_STRATA_RATES.items()))}
+         ELSE {int(_STRATA_DEFAULT * 1_000_000)} END)""",
     }
 
 
@@ -1108,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "corpus_sample": q_corpus_sample,
+        "events_sample_stratified": q_events_sample_stratified,
         "image_decode_stats": q_image_decode_stats,
     }
 

@@ -176,3 +176,40 @@ def test_dedup_groups_planted_cluster(spark):
     }
     assert groups.get(0) == 0 and groups.get(1) == 0 and groups.get(2) == 0
     assert 3 not in groups and 4 not in groups
+
+
+def test_deterministic_sample_nested_and_stable(spark):
+    """Same seed: rate 0.1 sample ⊂ rate 0.3 sample; repartitioning never
+    changes membership (hash-based, not order-based)."""
+    from moonlink_spark.pipeline.sampling import deterministic_sample
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.1, seed=3).collect()}
+    s3 = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed=3).collect()}
+    assert s1 <= s3
+    assert 0.05 < len(s1) / 5000 < 0.15 and 0.25 < len(s3) / 5000 < 0.35
+    again = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(17), 0.1, seed=3).collect()
+    }
+    assert again == s1
+
+
+def test_stratified_sample_rates(spark):
+    from moonlink_spark.pipeline.sampling import stratified_sample
+
+    df = spark.range(9000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(
+        df, rates={"a": 0.5, "b": 0.0}, strata_col="lang",
+        default_rate=0.1, seed=5,
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 1200 < counts.get("a", 0) < 1800      # ~50% of 3000
+    assert "b" not in counts                     # rate 0 drops the stratum
+    assert 150 < counts.get("c", 0) < 450        # ~10% of 3000

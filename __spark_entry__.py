@@ -611,6 +611,10 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(spark.table("embeddings"), threshold=0.4)
 
 
+_NEAR_DUP_PLANES = 4  # 8 planes leave zero same-bucket pairs at sf0.01 —
+# 4 keeps the oracle check non-vacuous while exercising the bucketed path
+
+
 def q_embed_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-bucketed form — the 100 TB path: the self-join shuffles on
     the bucket id instead of exploding N²; near-identical vectors share every
@@ -619,7 +623,7 @@ def q_embed_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load_views(spark, sf_dir)
     return embedding_near_dups(
-        spark.table("embeddings"), threshold=0.4, n_planes=_LSH_PLANES
+        spark.table("embeddings"), threshold=0.4, n_planes=_NEAR_DUP_PLANES
     )
 
 
@@ -841,16 +845,20 @@ cand AS (
     qids = ", ".join(str(i) for i in _COS_QUERY_IDS)
 
     from moonlink_spark.pipeline.similarity import plane_weights
-    planes = plane_weights(_LSH_PLANES, 64)
-    bucket_terms = []
-    for p, wts in enumerate(planes):
-        lits = ", ".join(repr(w) for w in wts)
-        dp = (f"list_sum(list_transform(range(1, 65), "
-              f"i -> embedding[i]::DOUBLE * ([{lits}])[i]))")
-        bucket_terms.append(
-            f"(CASE WHEN {dp} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        )
-    bucket_expr = " + ".join(bucket_terms)
+
+    def _bucket_expr(n_planes: int) -> str:
+        terms = []
+        for p, wts in enumerate(plane_weights(n_planes, 64)):
+            lits = ", ".join(repr(w) for w in wts)
+            dp = (f"list_sum(list_transform(range(1, 65), "
+                  f"i -> embedding[i]::DOUBLE * ([{lits}])[i]))")
+            terms.append(
+                f"(CASE WHEN {dp} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return " + ".join(terms)
+
+    bucket_expr = _bucket_expr(_LSH_PLANES)
+    bucket_expr4 = _bucket_expr(_NEAR_DUP_PLANES)
 
     # ---- text analysis oracles -------------------------------------------
     from moonlink_spark.pipeline.text import (
@@ -991,7 +999,7 @@ WITH pairs AS (
   FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id)
 SELECT DISTINCT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""",
         "embed_near_dups_lsh": f"""
-WITH bucketed AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings),
+WITH bucketed AS (SELECT vec_id, embedding, ({bucket_expr4}) AS bucket FROM embeddings),
 pairs AS (
   SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
          round({dot} / ({norm('q')} * {norm('c')}), 6) AS cos

@@ -425,13 +425,18 @@ class MoonTable:
         if deletes is None:
             return None
         # gate on the EXPANDED relation (position count), not at-rest bytes:
-        # a 16KB bitmap can expand to 65k join rows
+        # a 16KB bitmap can expand to millions of join rows. When too big,
+        # actively FORCE a shuffled join — Spark's own auto-broadcast
+        # estimator sees only the tiny at-rest file size and would broadcast
+        # the expansion anyway (executor-OOM at scale).
         est = sum(
             d.position_count if d.format == "bitmap" else d.record_count
             for d in dfiles
         ) * _DELETE_ROW_EST_BYTES
         if est <= _BROADCAST_DELETES_BYTES:
             deletes = F.broadcast(deletes)
+        else:
+            deletes = deletes.hint("shuffle_hash")
         return deletes
 
     def scan(

@@ -152,10 +152,14 @@ def sweep_orphans(
         if quarantine:
             os.makedirs(qdir, exist_ok=True)
         # the DELETE/MOVE is executed on the executors (parallel, shared fs);
-        # the collected path list is audit output, not the mutation path
+        # the collected path list is audit output, not the mutation path.
+        # persist so the audit collect and the mutation pass share one
+        # computation of the anti-join
+        orphans_df = orphans_df.persist()
         acted_paths = [r["path"] for r in orphans_df.collect()]
         if acted_paths:
             orphans_df.foreachPartition(_act)
+        orphans_df.unpersist()
         if older_than_seconds > 0:
             acted_paths = [p for p in acted_paths if _mtime_before(p, cutoff, missing_ok=True)]
         acted.extend(acted_paths)

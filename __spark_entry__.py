@@ -566,6 +566,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark.table("documents"))
 
 
+_SIMHASH_RADIUS = 3
+_SIMHASH_BANDS = 4
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded bucket join (pigeonhole-exact for
+    hamming ≤ bands−1) + one bit_count(xor) verification."""
+    from moonlink_spark.pipeline.dedup import simhash_pairs
+
+    _load_views(spark, sf_dir)
+    return simhash_pairs(
+        spark.table("documents"), radius=_SIMHASH_RADIUS, bands=_SIMHASH_BANDS
+    )
+
+
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.pipeline.similarity import cosine_topk
 
@@ -944,6 +959,24 @@ tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY id, to
 hashed AS (SELECT id, tf, {hx('token')} AS h FROM tf),
 bits AS (SELECT id, {simhash_sums} FROM hashed GROUP BY id)
 SELECT id, ({simhash_bits}) AS simhash FROM bits""",
+        "dedup_simhash_pairs": f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({words}) AS token FROM documents),
+tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY id, token),
+hashed AS (SELECT id, tf, {hx('token')} AS h FROM tf),
+bitsums AS (SELECT id, {simhash_sums} FROM hashed GROUP BY id),
+s AS (SELECT id, ({simhash_bits}) AS simhash FROM bitsums),
+bk AS (
+  SELECT id, simhash, band,
+         (simhash >> (band * {60 // _SIMHASH_BANDS})) & {(1 << (60 // _SIMHASH_BANDS)) - 1} AS val
+  FROM s CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS band)),
+cand AS (
+  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+  FROM bk l JOIN bk r ON l.band = r.band AND l.val = r.val AND l.id < r.id)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand c JOIN s sa ON sa.id = c.doc_a JOIN s sb ON sb.id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_RADIUS}""",
         "embed_cosine_topk": f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1139,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_lsh_ann": q_embed_lsh_ann,

@@ -198,6 +198,61 @@ def minhash_lsh_pairs(
     return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
+def simhash_pairs(
+    df: DataFrame,
+    radius: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ *radius*.
+
+    Banded search (the classic Charikar/Manku trick): split the fingerprint
+    into *bands* equal bit-chunks; any pair within Hamming distance
+    ≤ bands−1 must agree EXACTLY on at least one band (pigeonhole), so
+    candidates = pairs sharing any (band, chunk-value) bucket — a hash join,
+    never an all-pairs explosion — then one codegen'd
+    bit_count(xor) verifies the exact distance. Exact recall requires
+    radius ≤ bands−1 (asserted)."""
+    if radius > bands - 1:
+        raise ValueError(f"radius {radius} needs at least {radius + 1} bands for exact recall")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    sh = sh.localCheckpoint(eager=True)  # feeds bucketing AND verification
+    chunks = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sh.select("id", F.explode(F.array(*chunks)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sh.select(F.col("id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iterations: int = 50
 ) -> DataFrame:

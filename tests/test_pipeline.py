@@ -213,3 +213,18 @@ def test_stratified_sample_rates(spark):
     assert 1200 < counts.get("a", 0) < 1800      # ~50% of 3000
     assert "b" not in counts                     # rate 0 drops the stratum
     assert 150 < counts.get("c", 0) < 450        # ~10% of 3000
+
+
+def test_simhash_pairs_banded_exact(spark):
+    """Exact dup -> hamming 0 pair; near dup within radius found through the
+    banded buckets; unrelated docs absent; radius > bands-1 rejected."""
+    import pytest as _pytest
+
+    from moonlink_spark.pipeline.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs(spark), radius=3, bands=4)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert got.get((0, 1)) == 0  # exact duplicate
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in got)
+    with _pytest.raises(ValueError):
+        simhash_pairs(_docs(spark), radius=5, bands=4)

@@ -120,8 +120,18 @@ def _merge_locked(
     run_id: str,
     rows_per_file: int,
 ) -> MergeResult:
+    import os
+
     key = table.key_columns[0]
     cols = [f.name for f in table.schema.fields]
+    # per-partition lineage (north rule): a merge killed mid-write resumes
+    # skipping already-written bins — the plan (LWW collapse, bin count,
+    # hash binning) is deterministic for the same batch + run_id, so a
+    # retry recomputes identical bin contents. Deletes and inserts keep
+    # separate lineage namespaces (both start at bin 0).
+    lineage_root = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
+    del_lineage = os.path.join(lineage_root, "deletes")
+    ins_lineage = os.path.join(lineage_root, "inserts")
 
     final = last_writer_wins(changes, key)
     final.cache()
@@ -190,7 +200,7 @@ def _merge_locked(
             if n_matched > 0:
                 nb = max(1, n_matched // 4_000_000 + 1)
                 new_delete_files = table.write_position_deletes(
-                    matched, run_id=run_id, num_bins=nb
+                    matched, run_id=run_id, num_bins=nb, lineage_dir=del_lineage
                 )
 
             # --- inserts: final rows that are not deletes ---------------------
@@ -220,6 +230,7 @@ def _merge_locked(
                     run_id=run_id,
                     num_bins=nb,
                     compression="snappy",
+                    lineage_dir=ins_lineage,
                 )
         finally:
             matched.unpersist()

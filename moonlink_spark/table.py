@@ -609,7 +609,8 @@ class MoonTable:
         return out
 
     def write_position_deletes(
-        self, deletes_df: DataFrame, run_id: str, num_bins: int = 1
+        self, deletes_df: DataFrame, run_id: str, num_bins: int = 1,
+        lineage_dir: str | None = None,
     ) -> list[DeleteFile]:
         """Persist (file_path, pos) rows as BITMAP deletion-vector parquet:
         one row per target data file carrying the packed 64-bit-word bitmap
@@ -653,6 +654,7 @@ class MoonTable:
             compression="snappy",
             sort_within=["file_path"],
             file_prefix="del-",
+            lineage_dir=lineage_dir,
         )
         return [
             DeleteFile(

@@ -96,3 +96,20 @@ def test_merge_lww_adversarial(spark, tmp_table_root):
     oracle = last_writer_wins(allr, "image_id").filter(F.col("op") != "D")
     exp = sorted(tuple(r) for r in oracle.select("image_id", "caption", "phash").collect())
     assert _rows(table) == exp
+
+
+def test_merge_writes_partition_lineage(spark, tmp_table_root):
+    """Merge checkpoints per-bin lineage for BOTH its delete and insert
+    writes (north rule: every maintenance job resumes at partition
+    granularity — the skip-on-lineage mechanism itself is exercised by the
+    compact/cluster resume tests, which share the same writer)."""
+    table = create_images_table(spark, tmp_table_root, N, seed=42)
+    merge_into(table, generate_changes_df(spark, N, 200, seed=42), run_id="ml1")
+    root = os.path.join(table.catalog.metadata_dir, "lineage", "ml1")
+    ins = [n for n in os.listdir(os.path.join(root, "inserts")) if n.startswith("bin-")]
+    dels = [n for n in os.listdir(os.path.join(root, "deletes")) if n.startswith("bin-")]
+    assert ins and dels
+    # records round-trip the file entries (path + stats) used on resume
+    with open(os.path.join(root, "inserts", ins[0])) as f:
+        rec = json.load(f)
+    assert os.path.exists(rec["file_path"]) and rec["record_count"] > 0

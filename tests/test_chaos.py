@@ -42,11 +42,15 @@ COLS = ["image_id", "w", "h", "fmt", "caption", "phash"]
 
 def _run_scenario(spark, root, seed):
     """Execute the seeded interleaving; returns (table, merge_batches)."""
+    from moonlink_spark.operators.optimize import optimize
+
     rng = random.Random(seed)
     t = create_images_table(spark, root, N_BASE, seed=42)
     batches = []
     for step in range(STEPS):
-        action = rng.choice(["merge", "merge", "merge", "compact", "cluster", "expire"])
+        action = rng.choice(
+            ["merge", "merge", "merge", "compact", "cluster", "expire", "fused"]
+        )
         rid = f"s{step}"
         if action == "merge":
             n = rng.randint(40, 120)
@@ -60,6 +64,8 @@ def _run_scenario(spark, root, seed):
         elif action == "cluster":
             curve = rng.choice(["zorder", "hilbert"])
             cluster(t, by=["phash", "w", "h"], curve=curve, run_id=rid)
+        elif action == "fused":
+            optimize(t, mode="full", cluster_by=["phash", "w", "h"], run_id=rid)
         else:
             expire_snapshots(t, retain_last=2)
             sweep_orphans(t, quarantine=False)

@@ -47,6 +47,11 @@ from moonlink_spark.table import MoonTable
 
 _LIST_BATCH = 200_000  # dirents per listing batch (bounds driver memory)
 _RETAIN_METADATA_VERSIONS = 10
+# below this many listed files the set-difference runs on the driver (the
+# manifest chunk cache makes the reachable side free) — a Spark job for a
+# few hundred paths is pure scheduling overhead. Above it, the listing is
+# joined and acted on cluster-side.
+_DRIVER_SWEEP_MAX = 100_000
 
 
 def expire_snapshots(table: MoonTable, retain_last: int = 3) -> list[int]:
@@ -117,40 +122,54 @@ def sweep_orphans(
     Returns the paths acted on."""
     spark = table.spark
     cutoff = time.time() - older_than_seconds
-
-    reach_df = _reachable_df(table)
-    fs_df: DataFrame | None = None
-    for batch in _listing_batches(table.catalog.data_dir):
-        bdf = spark.createDataFrame([(p,) for p in batch], "path string")
-        fs_df = bdf if fs_df is None else fs_df.union(bdf)
-
+    grace = older_than_seconds
     qdir = os.path.join(table.catalog.metadata_dir, "quarantine")
     acted: list[str] = []
-    if fs_df is not None:
+
+    batches = list(_listing_batches(table.catalog.data_dir))
+    n_listed = sum(len(b) for b in batches)
+
+    def _act_one(p: str) -> bool:
+        import os as _os
+        import shutil as _shutil
+        import time as _time
+
+        try:
+            if grace > 0 and _os.path.getmtime(p) >= _time.time() - grace:
+                return False
+            if quarantine:
+                _shutil.move(p, _os.path.join(qdir, _os.path.basename(p)))
+            else:
+                _os.unlink(p)
+            return True
+        except FileNotFoundError:
+            return True  # another task/phase already acted
+
+    if quarantine and n_listed:
+        os.makedirs(qdir, exist_ok=True)
+
+    if 0 < n_listed <= _DRIVER_SWEEP_MAX:
+        # small table: metadata-scale set difference on the driver (chunk
+        # cache makes the reachable side free); no Spark job at all
+        reachable = table.all_reachable_paths()
+        for batch in batches:
+            for p in batch:
+                if p not in reachable and _act_one(p):
+                    acted.append(p)
+    elif n_listed:
+        reach_df = _reachable_df(table)
+        fs_df: DataFrame | None = None
+        for batch in batches:
+            bdf = spark.createDataFrame([(p,) for p in batch], "path string")
+            fs_df = bdf if fs_df is None else fs_df.union(bdf)
         orphans_df = (
             fs_df.join(reach_df, "path", "left_anti") if reach_df is not None else fs_df
         )
-        grace = older_than_seconds
 
         def _act(rows):
-            import os as _os
-            import shutil as _shutil
-            import time as _time
-
             for r in rows:
-                p = r["path"]
-                try:
-                    if grace > 0 and _os.path.getmtime(p) >= _time.time() - grace:
-                        continue
-                    if quarantine:
-                        _shutil.move(p, _os.path.join(qdir, _os.path.basename(p)))
-                    else:
-                        _os.unlink(p)
-                except FileNotFoundError:
-                    pass  # another task/phase already acted
+                _act_one(r["path"])
 
-        if quarantine:
-            os.makedirs(qdir, exist_ok=True)
         # the DELETE/MOVE is executed on the executors (parallel, shared fs);
         # the collected path list is audit output, not the mutation path.
         # persist so the audit collect and the mutation pass share one

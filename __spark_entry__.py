@@ -250,6 +250,31 @@ def q_cluster_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+_PHASH_LO = 1 << 58
+_PHASH_HI = (1 << 58) + (1 << 55)
+
+
+def q_clustered_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based file skipping AFTER clustering (the point of clustering):
+    1-D cluster on phash gives each file a tight disjoint key range, so a
+    narrow range predicate prunes nearly every file from manifest min/max
+    alone; read only the survivors and match the full filter oracle."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.operators.clustering import cluster
+
+    t = _make_table(spark, sf_dir, "range_scan", rows_per_file=512)
+    cluster(t, by=["phash"], curve="zorder", run_id="z1")
+    all_files = t.data_files()
+    pruned = t.plan_files({"phash": (_PHASH_LO, _PHASH_HI)})
+    # clustering must make the range scan skip most files from metadata alone
+    assert len(pruned) < max(2, len(all_files) // 3), (len(pruned), len(all_files))
+    return (
+        t.scan(files=pruned, columns=_NO_BYTES.split(", "))
+        .filter(F.col("phash").between(_PHASH_LO, _PHASH_HI))
+    )
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows 25-26: snapshot-isolated read-at-version — after a MERGE, scan
     the PRE-merge snapshot; must equal the original base table."""
@@ -1154,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_small_files": q_compact_small_files,
         "cluster_zorder": q_cluster_zorder,
         "cluster_hilbert": q_cluster_hilbert,
+        "clustered_range_scan": q_clustered_range_scan,
         "snapshot_time_travel": q_snapshot_time_travel,
         "expire_orphan_scan": q_expire_orphan_scan,
         "manifest_stats": q_manifest_stats,
@@ -1251,5 +1277,9 @@ SELECT image_id, w, h, caption, phash, CAST(NULL AS {_s(d)}) AS fmt FROM images"
     # cluster queries rewrite the BASE table (no merge): oracle = base rows
     out["cluster_zorder"] = base_no_bytes
     out["cluster_hilbert"] = base_no_bytes
+    out["clustered_range_scan"] = (
+        f"WITH images AS ({_images_select(d)}) SELECT {_NO_BYTES} FROM images "
+        f"WHERE phash BETWEEN {_PHASH_LO} AND {_PHASH_HI}"
+    )
     out.update(_pipeline_sqls())
     return {k: v for k, v in out.items() if v is not None}

@@ -60,7 +60,6 @@ def scan_changes(
         raise ValueError("to_snapshot precedes from_snapshot")
 
     cols = columns or [f.name for f in table.schema.fields]
-    spark = table.spark
     parts: list[DataFrame] = []
 
     prev = by_id[from_snapshot_id]
@@ -108,17 +107,46 @@ def scan_changes(
         prev = s
 
     if not parts:
-        import pyspark.sql.types as T
-
-        schema = T.StructType(
-            [f for f in table.schema.fields if f.name in set(cols)]
-            + [
-                T.StructField("_change_op", T.StringType()),
-                T.StructField("_change_snapshot_id", T.LongType()),
-            ]
-        )
-        return spark.createDataFrame([], schema)
+        return _empty(table, cols)
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def _empty(table: MoonTable, cols: list[str]) -> DataFrame:
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [f for f in table.schema.fields if f.name in set(cols)]
+        + [
+            T.StructField("_change_op", T.StringType()),
+            T.StructField("_change_snapshot_id", T.LongType()),
+        ]
+    )
+    return table.spark.createDataFrame([], schema)
+
+
+def scan_changes_at_lsn(
+    table: MoonTable,
+    from_lsn: int,
+    to_lsn: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """LSN-addressed changelog: the row-level changes whose commits became
+    visible after *from_lsn* up to *to_lsn* — the CDC-out twin of
+    scan_at_lsn (read_state_manager.rs addresses reads the same way). The
+    LSNs resolve to snapshots via the same flush-lsn protocol, so a
+    downstream consumer can checkpoint a single LSN watermark for both its
+    snapshot reads and its change feed."""
+    s_from = table.snapshot_for_lsn(from_lsn)
+    if s_from is None:
+        raise ValueError(f"no snapshot visible at lsn {from_lsn}")
+    if to_lsn is None:
+        s_to_id = table.current_snapshot_id()
+    else:
+        s_to = table.snapshot_for_lsn(to_lsn)
+        if s_to is None:
+            raise ValueError(f"no snapshot visible at lsn {to_lsn}")
+        s_to_id = s_to.snapshot_id
+    return scan_changes(table, s_from.snapshot_id, s_to_id, columns=columns)

@@ -170,18 +170,12 @@ def _merge_locked(
         # Datum stats gating the index probe; on a key-clustered table this
         # turns a full-table probe into a few files)
         all_files = table.data_files()
-        probe_files = all_files
         if n_final == 0:
             probe_files = []  # empty batch: nothing can match, skip the probe
         elif head["klo"] is not None:
-            pruned = []
-            for f in all_files:
-                st = f.stats.get(key) or {}
-                mn, mx = st.get("min"), st.get("max")
-                if mn is not None and mx is not None and (mx < head["klo"] or mn > head["khi"]):
-                    continue
-                pruned.append(f)
-            probe_files = pruned
+            probe_files = table.plan_files({key: (head["klo"], head["khi"])})
+        else:
+            probe_files = all_files
         target_pos = table.scan(
             with_position=True, columns=[key, "_fp", "_pos"], files=probe_files
         )

@@ -578,6 +578,35 @@ class MoonTable:
             raise ValueError(f"no snapshot visible at lsn {lsn}")
         return self.scan(snapshot_id=snap.snapshot_id, columns=columns)
 
+    def plan_files(
+        self,
+        bounds: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> list[DataFile]:
+        """Manifest-stats FILE SKIPPING: return only the data files whose
+        per-column [min, max] ranges can intersect every (lo, hi) bound in
+        *bounds* (either end may be None = unbounded). This is Iceberg-style
+        scan planning from metadata alone — no data read — and is what
+        Z-order/Hilbert clustering exists to amplify: after a cluster
+        rewrite, each file covers a tight key range, so a range predicate
+        prunes most files here before Spark ever lists them
+        (the reference analog: per-file Datum stats gating the index probe,
+        parquet_stats_utils.rs)."""
+        out = []
+        for f in self.data_files(snapshot_id):
+            keep = True
+            for col, (lo, hi) in bounds.items():
+                st = f.stats.get(col) or {}
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None:
+                    continue  # no stats -> cannot skip
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
     def create_or_replace_view(self, name: str, snapshot_id: int | None = None) -> None:
         """Expose the (snapshot-isolated) scan as a Spark SQL temp view, so
         any SQL client of the session queries the table like a catalog

@@ -100,3 +100,43 @@ def test_delete_antijoin_broadcast_gated_by_positions(spark, tmp_table_root):
     plan = _plan(joined)
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_clustering_amplifies_file_skipping(spark, tmp_table_root):
+    """Before clustering (hash-random layout) a phash range prunes almost
+    nothing — every file spans the key space. After the Z-order rewrite each
+    file covers a tight range, so the same predicate skips most files from
+    manifest stats alone."""
+    from moonlink_spark.operators.clustering import cluster
+
+    t = create_images_table(spark, tmp_table_root, 2000, seed=42)
+    lo, hi = 1 << 58, (1 << 58) + (1 << 55)  # narrow slab (~3% of key space)
+    before_all = len(t.data_files())
+    before = len(t.plan_files({"phash": (lo, hi)}))
+    assert before >= before_all * 0.9  # random layout: nothing skippable
+
+    # 3-dim Z-order: per-dim spans dilute to ~(1/n)^(1/3) and Morton bins
+    # crossing high-bit boundaries span wide phash ranges — assert a strict
+    # improvement, not perfection
+    cluster(t, by=["phash", "w", "h"], curve="zorder", run_id="z1",
+            target_bytes=64 * 1024)
+    after_all = len(t.data_files())
+    after = len(t.plan_files({"phash": (lo, hi)}))
+    assert after <= int(after_all * 0.8), (after, after_all)
+
+    # 1-D cluster on phash = disjoint key ranges per file: pruning is crisp
+    cluster(t, by=["phash"], curve="zorder", run_id="z2", target_bytes=64 * 1024)
+    one_all = len(t.data_files())
+    one = len(t.plan_files({"phash": (lo, hi)}))
+    assert one <= max(2, one_all // 5), (one, one_all)
+
+    # pruned scan + residual filter == full scan + filter (no rows lost)
+    full = t.scan(columns=["image_id", "phash"]).filter(
+        F.col("phash").between(lo, hi)
+    )
+    pruned = t.scan(
+        files=t.plan_files({"phash": (lo, hi)}), columns=["image_id", "phash"]
+    ).filter(F.col("phash").between(lo, hi))
+    assert sorted(r["image_id"] for r in pruned.collect()) == sorted(
+        r["image_id"] for r in full.collect()
+    )

@@ -105,3 +105,21 @@ def test_bitmap_deletion_vectors_roundtrip_and_size(spark, tmp_table_root):
         r["pos"] for r in t.read_delete_rows(dfiles).collect()
     )
     assert got == list(range(0, 16000, 2))
+
+
+def test_changelog_at_lsn(spark, tmp_table_root):
+    """LSN-addressed changelog: from the first merge's flush-lsn, only the
+    second merge's changes appear (same watermark protocol as scan_at_lsn)."""
+    from moonlink_spark.operators.changes import scan_changes_at_lsn
+
+    t = create_images_table(spark, tmp_table_root, 300, seed=42)
+    merge_into(t, generate_changes_df(spark, 300, 50, seed=42, lsn_start=1_000),
+               run_id="m1")
+    l1 = t.current_flush_lsn()
+    merge_into(t, generate_changes_df(spark, 300, 40, seed=42, lsn_start=9_000_000),
+               run_id="m2")
+    ch = scan_changes_at_lsn(t, l1, columns=COLS)
+    snaps = {r["_change_snapshot_id"] for r in ch.select("_change_snapshot_id").distinct().collect()}
+    m2_sid = [s.snapshot_id for s in t.snapshots() if s.summary.get("run_id") == "m2"]
+    assert snaps == set(m2_sid)
+    assert ch.count() > 0

@@ -803,6 +803,20 @@ def q_events_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type")
 
 
+_SHARD_BUDGET = 20_000
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing via a distributed global prefix-sum: docs in
+    doc_id order fill ~20k-token shards; shard_id = exclusive running token
+    total // budget. Two-phase scan (per-partition totals -> offsets ->
+    per-partition cumsum), never a single-partition global window."""
+    from moonlink_spark.pipeline.packing import pack_shards
+
+    _load_views(spark, sf_dir)
+    return pack_shards(spark.table("documents"), budget_tokens=_SHARD_BUDGET)
+
+
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: real encoded pixels through Arrow-batched
     mapInPandas decode. No SQL oracle (rows-only); pixel/phash invariants
@@ -1143,6 +1157,18 @@ SELECT event_id, event_type FROM events
 WHERE {hx(f"('sample-{_SAMPLE_SEED}|' || CAST(event_id AS VARCHAR))")} % 1000000
       < (CASE {' '.join(f"WHEN event_type = '{v}' THEN {int(r * 1_000_000)}" for v, r in sorted(_STRATA_RATES.items()))}
          ELSE {int(_STRATA_DEFAULT * 1_000_000)} END)""",
+        "pack_shards": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt
+  FROM documents),
+c AS (
+  SELECT doc_id, nt,
+         sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, nt AS n_tokens,
+       CAST((cum - nt) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+FROM c""",
     }
 
 
@@ -1216,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "corpus_sample": q_corpus_sample,
         "events_sample_stratified": q_events_sample_stratified,
+        "pack_shards": q_pack_shards,
         "image_decode_stats": q_image_decode_stats,
     }
 

@@ -228,3 +228,27 @@ def test_simhash_pairs_banded_exact(spark):
     assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in got)
     with _pytest.raises(ValueError):
         simhash_pairs(_docs(spark), radius=5, bands=4)
+
+
+def test_pack_shards_prefix_sum_and_partition_invariance(spark):
+    """Shard assignment equals the sequential definition and is identical
+    at any parallelism (the two-phase distributed prefix-sum)."""
+    from moonlink_spark.pipeline.packing import pack_shards
+
+    rows = [(i, " ".join(["w"] * (3 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def seq_oracle(budget):
+        cum, out = 0, {}
+        for i, txt in rows:
+            nt = len(txt.split())
+            out[i] = (nt, cum // budget)
+            cum += nt
+        return out
+
+    for parts in (1, 5):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["shard_id"])
+            for r in pack_shards(df, budget_tokens=50, num_partitions=parts).collect()
+        }
+        assert got == seq_oracle(50), f"parts={parts}"

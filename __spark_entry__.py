@@ -297,7 +297,7 @@ def q_expire_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
     compact(t, CompactionConfig(mode="force_full"), run_id="c1")
     expire_snapshots(t, retain_last=1)
-    sweep_orphans(t, quarantine=False)
+    sweep_orphans(t, quarantine=False, older_than_seconds=0)
     return t.scan(columns=_NO_BYTES.split(", "))
 
 

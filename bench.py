@@ -95,7 +95,7 @@ def main() -> None:
         table, by=["phash", "w", "h"], curve="zorder", run_id="bz1",
         target_bytes=target_bytes))
     timed("expire_sweep", lambda: (
-        expire_snapshots(table, retain_last=1), sweep_orphans(table, quarantine=False)))
+        expire_snapshots(table, retain_last=1), sweep_orphans(table, quarantine=False, older_than_seconds=0)))
     rows_final = table.scan().count()
 
     # headline throughput: full maintenance of the table (every live byte

@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--expire-retain", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--sweep-grace-seconds", type=float, default=3 * 24 * 3600)
+    # two-phase reclamation: "quarantine" parks orphans; a later run with
+    # --sweep-mode purge empties the quarantine AND deletes fresh orphans
+    # directly. Alternate modes (e.g. nightly purge) or quarantine grows
+    # forever.
+    ap.add_argument("--sweep-mode", default="quarantine",
+                    choices=["quarantine", "purge"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -92,7 +98,8 @@ def main() -> None:
     if args.expire_retain is not None:
         timed("expire", lambda: expire_snapshots(table, retain_last=args.expire_retain))
         swept = timed("sweep", lambda: sweep_orphans(
-            table, quarantine=True, older_than_seconds=args.sweep_grace_seconds))
+            table, quarantine=(args.sweep_mode == "quarantine"),
+            older_than_seconds=args.sweep_grace_seconds))
         out["swept_files"] = len(swept)
 
     out["rows"] = table.scan().count()

@@ -67,7 +67,8 @@ def scan_changes(
         if not (lo < s.sequence_number <= hi):
             continue
         if s.operation not in _LAYOUT_ONLY_OPS:
-            prev_files = {norm_path(f.file_path) for f in table.data_files(prev.snapshot_id)}
+            prev_data = table.data_files(prev.snapshot_id)
+            prev_files = {norm_path(f.file_path) for f in prev_data}
             prev_dels = {norm_path(d.file_path) for d in table.delete_files(prev.snapshot_id)}
             added_files = [
                 f for f in table.data_files(s.snapshot_id)
@@ -84,19 +85,22 @@ def scan_changes(
                     .withColumn("_change_snapshot_id", F.lit(s.snapshot_id).cast("long"))
                 )
             if added_dels:
-                dels = table.read_delete_rows(added_dels)
+                # _read_deletes applies the expanded-position broadcast gate
+                # (broadcast small, force shuffle join when the bitmap
+                # expansion is large) — never an unconditional broadcast
+                dels = table._read_deletes(added_dels)
                 # the new deletes name their target files — scan only those
                 targets = {
                     norm_path(r["file_path"])
                     for r in dels.select("file_path").distinct().collect()
                 }
                 target_files = [
-                    f for f in table.data_files(prev.snapshot_id)
+                    f for f in prev_data
                     if norm_path(f.file_path) in targets
                 ]
                 old = table._read_data(target_files, with_position=True)
                 pre_image = old.join(
-                    F.broadcast(dels),
+                    dels,
                     (old["_fp"] == dels["file_path"]) & (old["_pos"] == dels["pos"]),
                     "left_semi",
                 ).select(*cols)

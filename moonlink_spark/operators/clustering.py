@@ -361,6 +361,9 @@ def _cluster_locked(
     out_set = {norm_path(f.file_path) for f in new_files}
     last_conflict: Exception | None = None
     for _ in range(5):
+        # pin the commit to the parent read BEFORE the survivor list — an
+        # append CASing in between would otherwise be silently clobbered
+        parent_sid = table.current_snapshot_id()
         survivors = [
             f
             for f in table.data_files()
@@ -372,6 +375,7 @@ def _cluster_locked(
                 "cluster",
                 survivors + new_files,
                 [],  # full rewrite applied all deletes inline -> table is DV-free
+                expected_parent_snapshot=parent_sid,
                 summary={
                     "run_id": run_id,
                     "curve": plan.curve,

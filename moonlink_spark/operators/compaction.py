@@ -261,6 +261,9 @@ def _compact_locked(
     out_set = {norm_path(f.file_path) for f in new_files}
     last_conflict: Exception | None = None
     for _ in range(5):
+        # pin the commit to the parent read BEFORE the survivor list — an
+        # append CASing in between would otherwise be silently clobbered
+        parent_sid = table.current_snapshot_id()
         survivors = [
             f
             for f in table.data_files()
@@ -272,6 +275,7 @@ def _compact_locked(
                 "compact",
                 survivors + new_files,
                 new_delete_entries,
+                expected_parent_snapshot=parent_sid,
                 summary={
                     "run_id": run_id,
                     "removed-files": len(plan.victims),

@@ -111,7 +111,7 @@ def sweep_orphans(
     table: MoonTable,
     quarantine: bool = True,
     include_metadata: bool = True,
-    older_than_seconds: float = 0.0,
+    older_than_seconds: float = 300.0,
 ) -> list[str]:
     """Remove data/delete files not reachable from any retained snapshot.
 
@@ -119,15 +119,37 @@ def sweep_orphans(
     call with quarantine=False purges it (and deletes fresh orphans
     directly). Files still being written (*.inprogress), lineage records,
     and anything younger than *older_than_seconds* are never touched.
-    Returns the paths acted on."""
+
+    *older_than_seconds* is the ONLY protection for a concurrent writer's
+    completed-but-not-yet-CAS-committed files (lock-free appends never hold
+    the maintenance lock), so it defaults to a 5-minute grace; production
+    should use hours (Iceberg's remove_orphan_files defaults to 3 days,
+    as jobs/maintain.py does). Pass 0 only in deterministic single-writer
+    tests. Returns the paths acted on."""
     spark = table.spark
     cutoff = time.time() - older_than_seconds
     grace = older_than_seconds
     qdir = os.path.join(table.catalog.metadata_dir, "quarantine")
     acted: list[str] = []
 
-    batches = list(_listing_batches(table.catalog.data_dir))
-    n_listed = sum(len(b) for b in batches)
+    # stream the listing: keep at most _DRIVER_SWEEP_MAX paths in driver
+    # memory; past that, every batch (including the retained prefix) becomes
+    # an incremental DataFrame and the Python lists are dropped — the driver
+    # never holds more than one batch + the small-table prefix
+    small_paths: list[str] | None = []
+    fs_df: DataFrame | None = None
+    n_listed = 0
+    for batch in _listing_batches(table.catalog.data_dir):
+        n_listed += len(batch)
+        if small_paths is not None and n_listed <= _DRIVER_SWEEP_MAX:
+            small_paths.extend(batch)
+            continue
+        if small_paths:  # overflow: push the retained prefix cluster-side
+            pdf = spark.createDataFrame([(p,) for p in small_paths], "path string")
+            fs_df = pdf if fs_df is None else fs_df.union(pdf)
+        small_paths = None
+        bdf = spark.createDataFrame([(p,) for p in batch], "path string")
+        fs_df = bdf if fs_df is None else fs_df.union(bdf)
 
     def _act_one(p: str) -> bool:
         import os as _os
@@ -148,20 +170,15 @@ def sweep_orphans(
     if quarantine and n_listed:
         os.makedirs(qdir, exist_ok=True)
 
-    if 0 < n_listed <= _DRIVER_SWEEP_MAX:
+    if small_paths is not None and n_listed:
         # small table: metadata-scale set difference on the driver (chunk
         # cache makes the reachable side free); no Spark job at all
         reachable = table.all_reachable_paths()
-        for batch in batches:
-            for p in batch:
-                if p not in reachable and _act_one(p):
-                    acted.append(p)
+        for p in small_paths:
+            if p not in reachable and _act_one(p):
+                acted.append(p)
     elif n_listed:
         reach_df = _reachable_df(table)
-        fs_df: DataFrame | None = None
-        for batch in batches:
-            bdf = spark.createDataFrame([(p,) for p in batch], "path string")
-            fs_df = bdf if fs_df is None else fs_df.union(bdf)
         orphans_df = (
             fs_df.join(reach_df, "path", "left_anti") if reach_df is not None else fs_df
         )

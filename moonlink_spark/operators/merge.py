@@ -124,13 +124,15 @@ def _merge_locked(
 
     key = table.key_columns[0]
     cols = [f.name for f in table.schema.fields]
-    # per-partition lineage (north rule): a merge killed mid-write resumes
-    # skipping already-written bins — the plan (LWW collapse, bin count,
-    # hash binning) is deterministic for the same batch + run_id, so a
-    # retry recomputes identical bin contents. Deletes and inserts keep
-    # separate lineage namespaces (both start at bin 0).
+    # per-partition lineage (north rule) for the INSERT writes only: their
+    # bin contents are a pure function of the change batch (LWW collapse +
+    # hash binning), so a merge killed mid-write resumes skipping completed
+    # bins. The DELETE write gets NO lineage on purpose: its positions come
+    # from probing TABLE STATE, which a lock-free append can change between
+    # a failed attempt and its retry — resuming stale delete bins would
+    # silently skip newly-matched positions. Deletes re-write fully on
+    # retry (idempotent: same file names, tiny bitmaps).
     lineage_root = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
-    del_lineage = os.path.join(lineage_root, "deletes")
     ins_lineage = os.path.join(lineage_root, "inserts")
 
     final = last_writer_wins(changes, key)
@@ -194,7 +196,7 @@ def _merge_locked(
             if n_matched > 0:
                 nb = max(1, n_matched // 4_000_000 + 1)
                 new_delete_files = table.write_position_deletes(
-                    matched, run_id=run_id, num_bins=nb, lineage_dir=del_lineage
+                    matched, run_id=run_id, num_bins=nb
                 )
 
             # --- inserts: final rows that are not deletes ---------------------
@@ -245,6 +247,11 @@ def _merge_locked(
     out_del = {norm_path(f.file_path) for f in new_delete_files}
     last_conflict: Exception | None = None
     for _ in range(5):
+        # read the parent BEFORE the file lists and pin the commit to it:
+        # without the pin, an append committing between this read and the
+        # CAS would be silently clobbered (our complete list lacks its
+        # files but the version CAS still succeeds)
+        parent_sid = table.current_snapshot_id()
         data_files = [
             f for f in table.data_files() if norm_path(f.file_path) not in out_set
         ]
@@ -270,6 +277,7 @@ def _merge_locked(
                     "probed-files": len(probe_files),
                     "total-files": len(all_files),
                 },
+                expected_parent_snapshot=parent_sid,
             )
             break
         except CommitConflict as e:

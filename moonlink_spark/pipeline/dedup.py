@@ -299,6 +299,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exiting with unconverged labels would SILENTLY split components
+        # (keeping duplicates the dedup policy says to collapse) — fail loud
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing) — the graph has "
+            f"chains longer than max_iterations; raise it or switch to the "
+            f"large-star/small-star variant"
+        )
     return labels.select(F.col("id"), F.col("lbl").alias("group_id"))
 
 

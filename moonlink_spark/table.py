@@ -170,12 +170,28 @@ class MoonTable:
                 f"planned against snapshot {expected_parent_snapshot} but "
                 f"current is {meta.current_snapshot_id} under {self.root}"
             )
-        # stamp freshly-written files with the current field-id mapping
-        # (files re-read from manifests already carry their write-time ids)
+        # stamp FRESHLY-WRITTEN files (not in the parent snapshot) with the
+        # current field-id mapping. Files re-read from manifests carry their
+        # write-time ids; legacy files recorded with field_ids=None must NOT
+        # be stamped with today's mapping — that would assert today's ids
+        # over columns physically written under an unknown older schema.
+        # They stay None (= read as current schema, the pre-field-id
+        # behavior) until a rewrite re-creates them.
         if meta.field_ids:
-            for f in data_files:
-                if f.field_ids is None:
-                    f.field_ids = dict(meta.field_ids)
+            unstamped = [f for f in data_files if f.field_ids is None]
+            if unstamped:
+                parent = meta.current_snapshot()
+                parent_paths: set[str] = set()
+                if parent is not None:
+                    parent_paths = {
+                        pf.file_path
+                        for pf in read_data_manifests(
+                            self.catalog.metadata_dir, parent.manifests
+                        )
+                    }
+                for f in unstamped:
+                    if f.file_path not in parent_paths:
+                        f.field_ids = dict(meta.field_ids)
         seq = meta.last_sequence_number + 1
         parent = meta.current_snapshot()
         max_entries = int(meta.properties.get("manifest.max-entries", MANIFEST_MAX_ENTRIES))
@@ -288,11 +304,16 @@ class MoonTable:
         last: Exception | None = None
         for _ in range(max_retries):
             try:
+                # parent pinned BEFORE reading the file lists: a commit
+                # landing in between must conflict (and rebase), never be
+                # silently overwritten by our complete-list publish
+                parent_sid = self.current_snapshot_id()
                 return self.commit_snapshot(
                     operation,
                     self.data_files() + new_files,
                     self.delete_files(),
                     summary=summary,
+                    expected_parent_snapshot=parent_sid,
                 )
             except CommitConflict as e:
                 last = e

@@ -68,7 +68,7 @@ def _run_scenario(spark, root, seed):
             optimize(t, mode="full", cluster_by=["phash", "w", "h"], run_id=rid)
         else:
             expire_snapshots(t, retain_last=2)
-            sweep_orphans(t, quarantine=False)
+            sweep_orphans(t, quarantine=False, older_than_seconds=0)
     return t, batches
 
 

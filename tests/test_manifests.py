@@ -65,7 +65,7 @@ def test_manifest_gc_keeps_shared_chunks(spark, tmp_table_root):
     _append(spark, t, 400, 500, files=2)
     live = set(t.meta.current_snapshot().manifests)
     expire_snapshots(t, retain_last=1)
-    sweep_orphans(t, quarantine=False)
+    sweep_orphans(t, quarantine=False, older_than_seconds=0)
     on_disk = {
         n
         for n in os.listdir(t.catalog.metadata_dir)

@@ -99,16 +99,18 @@ def test_merge_lww_adversarial(spark, tmp_table_root):
 
 
 def test_merge_writes_partition_lineage(spark, tmp_table_root):
-    """Merge checkpoints per-bin lineage for BOTH its delete and insert
-    writes (north rule: every maintenance job resumes at partition
-    granularity — the skip-on-lineage mechanism itself is exercised by the
-    compact/cluster resume tests, which share the same writer)."""
+    """Merge checkpoints per-bin lineage for its INSERT writes (bin contents
+    are a pure function of the change batch, so resume is safe); the DELETE
+    write intentionally has NO lineage — its positions depend on table
+    state a concurrent append can change between attempts, so it re-writes
+    fully on retry. The skip-on-lineage mechanism itself is exercised by the
+    compact/cluster resume tests, which share the same writer."""
     table = create_images_table(spark, tmp_table_root, N, seed=42)
     merge_into(table, generate_changes_df(spark, N, 200, seed=42), run_id="ml1")
     root = os.path.join(table.catalog.metadata_dir, "lineage", "ml1")
     ins = [n for n in os.listdir(os.path.join(root, "inserts")) if n.startswith("bin-")]
-    dels = [n for n in os.listdir(os.path.join(root, "deletes")) if n.startswith("bin-")]
-    assert ins and dels
+    assert ins
+    assert not os.path.isdir(os.path.join(root, "deletes"))
     # records round-trip the file entries (path + stats) used on resume
     with open(os.path.join(root, "inserts", ins[0])) as f:
         rec = json.load(f)

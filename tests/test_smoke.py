@@ -81,7 +81,7 @@ def test_e2e_merge_compact_cluster_expire(spark, tmp_table_root):
     # expiry + orphan sweep: old snapshots gone, current scan unchanged
     expired = expire_snapshots(table, retain_last=1)
     assert snap_before in expired
-    removed = sweep_orphans(table, quarantine=False)
+    removed = sweep_orphans(table, quarantine=False, older_than_seconds=0)
     assert removed  # compacted-away victims were reclaimed
     assert as_sorted_rows(table.scan()) == expected
 

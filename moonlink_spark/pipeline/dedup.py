@@ -254,21 +254,35 @@ def simhash_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iterations: int = 50
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over an undirected edge list: every node is
     labeled with the MIN node id reachable from it. Returns (id, group_id).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its direct neighbors' labels; converges in O(graph
-    diameter) rounds — near-dup clusters are shallow (duplicates of
-    duplicates), so a handful of rounds suffices. Each round is one
-    shuffle-join + aggregate, with labels localCheckpoint'd so the plan
-    stays O(1) deep instead of O(rounds). For adversarial long-chain graphs
-    at extreme scale, the published large-star/small-star alternating
-    algorithm (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC'14) halves the diameter per round — same join/agg
-    primitives, drop-in replacement."""
+    algorithm="star" (default, the scale path): the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14). Each round is two groupBy+join
+    passes over the CURRENT edge set and at least halves every tree's
+    height, so convergence is O(log diameter) rounds regardless of chain
+    length — the property label propagation lacks. The edge set also
+    shrinks toward one star per component, so late rounds are nearly free.
+
+    algorithm="label": min-label propagation — every node takes the min of
+    its neighbors' labels each round; O(graph diameter) rounds. Fine for
+    shallow near-dup clusters (duplicates of duplicates), kept as the
+    simpler cross-check implementation; both algorithms are fixture-equal
+    in tests.
+
+    Either way each round's output is localCheckpoint'd so the plan stays
+    O(1) deep instead of O(rounds), and non-convergence fails loud."""
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (star|label)")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -305,10 +319,99 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             f"iterations ({changed} labels still changing) — the graph has "
-            f"chains longer than max_iterations; raise it or switch to the "
-            f"large-star/small-star variant"
+            f"chains longer than max_iterations; raise it or use the default "
+            f"algorithm='star' (O(log diameter) rounds)"
         )
     return labels.select(F.col("id"), F.col("lbl").alias("group_id"))
+
+
+def _cc_star(edges: DataFrame, src: str, dst: str, max_iterations: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., SoCC'14 §3).
+
+    large-star — for every node u with neighborhood N(u) (both edge
+    directions), m = min(N(u) ∪ {u}): rewrite each edge to a LARGER
+    neighbor v > u as (v, m). small-star — orient every edge toward its
+    larger endpoint, m = min(smaller neighbors ∪ {u}): rewrite each
+    (u, v ≤ u) as (v, m) and keep (u, m). Both preserve connectivity; the
+    fixpoint is one star per component rooted at its minimum id. Round
+    cost is two shuffles (groupBy min + join back) per phase; convergence
+    is detected with an order-free checksum (count + sum of edge hashes)
+    so each round adds exactly one small action."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(df: DataFrame) -> tuple:
+        canon = df.select(
+            F.xxhash64(F.least("a", "b"), F.greatest("a", "b")).alias("h")
+        )
+        row = canon.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor("h"), F.lit(0)).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    prev = _checksum(e)
+    for _ in range(max_iterations):
+        # ---- large-star ------------------------------------------------
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        nmin = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least(F.col("mb"), F.col("a")).alias("m"))
+        )
+        e = (
+            sym.join(nmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star ------------------------------------------------
+        oriented = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        nmin = (
+            oriented.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least(F.col("mb"), F.col("a")).alias("m"))
+        )
+        joined = oriented.join(nmin, "a")
+        e = (
+            joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(joined.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge within "
+            f"{max_iterations} rounds — with O(log diameter) convergence "
+            f"this indicates a pathological input or a bug, not scale"
+        )
+    # fixpoint edges are (member, component-min) stars; roots (the min of
+    # each component, and isolated nodes) label themselves
+    canon = e.select(F.greatest("a", "b").alias("id"), F.least("a", "b").alias("lbl"))
+    member = canon.groupBy("id").agg(F.min("lbl").alias("group_id"))
+    roots = nodes.join(member, "id", "left_anti").select(
+        "id", F.col("id").alias("group_id")
+    )
+    return member.select("id", "group_id").union(roots)
 
 
 def dedup_groups(

@@ -160,10 +160,48 @@ def test_connected_components_chain_and_islands(spark):
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (7, 9), (3, 5)], "doc_a long, doc_b long"
     )
+    for algo in ("star", "label"):
+        got = {
+            (r["id"], r["group_id"])
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (5, 1), (7, 7), (9, 7)}, algo
+
+
+def test_connected_components_star_long_chain_and_random(spark):
+    """The star algorithm converges in O(log diameter) rounds: a 300-node
+    chain (diameter 299) must finish within 12 alternating rounds — label
+    propagation would need 299 — and on a seeded random multi-component
+    graph both algorithms produce identical labels."""
+    import random
+
+    from moonlink_spark.pipeline.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a long, doc_b long"
+    )
     got = {
-        (r["id"], r["group_id"]) for r in connected_components(edges).collect()
+        (r["id"], r["group_id"])
+        for r in connected_components(chain, max_iterations=12).collect()
     }
-    assert got == {(1, 1), (2, 1), (3, 1), (5, 1), (7, 7), (9, 7)}
+    assert got == {(i, 0) for i in range(301)}
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(base, base + 40), rng.randrange(base, base + 40))
+        for base in (0, 1000, 2000)
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {
+        (r["id"], r["group_id"])
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    label = {
+        (r["id"], r["group_id"])
+        for r in connected_components(df, algorithm="label").collect()
+    }
+    assert star == label and star
 
 
 def test_dedup_groups_planted_cluster(spark):

@@ -121,6 +121,28 @@ SELECT 'D' AS op, CAST(1000000 + o_orderkey AS BIGINT) AS lsn, {gone_iid} AS ima
 FROM orders WHERE o_orderkey % 10 = 4"""
 
 
+def _phash_corpus_select(d: str) -> str:
+    """Images ∪ planted recompressed variants (every 7th image reappears as
+    '<id>-v' with exactly two deterministic phash bits flipped) — the ground
+    truth corpus for the banded-Hamming image near-dup search. Requires an
+    `images` CTE in scope. The two flip positions never coincide
+    (10k+7 ≢ 0 mod 60 has no solution), so every planted pair sits at
+    Hamming distance exactly 2."""
+    if d == "spark":
+        xor = "({} ^ {})".format
+        shl = "shiftleft(CAST(1 AS BIGINT), {})".format
+    else:
+        xor = "xor({}, {})".format
+        shl = "(CAST(1 AS BIGINT) << ({}))".format
+    okey = "CAST(substr(image_id, 5) AS BIGINT)"
+    flips = xor(shl(f"({okey}) % 60"), shl(f"(({okey}) * 11 + 7) % 60"))
+    return f"""
+SELECT image_id, phash FROM images
+UNION ALL
+SELECT (image_id || '-v') AS image_id, {xor('phash', flips)} AS phash
+FROM images WHERE ({okey}) % 7 = 0"""
+
+
 _NO_BYTES = "image_id, w, h, fmt, caption, phash"
 
 
@@ -606,6 +628,28 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection on the PRECOMPUTED perceptual-hash column
+    (the lakehouse clustering key): banded Hamming search over phash finds
+    planted recompressed variants (2 flipped bits) without an all-pairs
+    join. The 20% hot-prefix images concentrate in the top band's buckets —
+    the skew axis AQE's skew-join split handles."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.pipeline.dedup import hamming_near_dup_pairs
+
+    _load_views(spark, sf_dir)
+    corpus = spark.sql(
+        f"WITH images AS ({_images_select('spark')}) {_phash_corpus_select('spark')}"
+    )
+    pairs = hamming_near_dup_pairs(
+        corpus, hash_col="phash", id_col="image_id", radius=3, bands=4, bits=60
+    )
+    return pairs.select(
+        F.col("doc_a").alias("img_a"), F.col("doc_b").alias("img_b"), "hamming"
+    )
+
+
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.pipeline.similarity import cosine_topk
 
@@ -1016,6 +1060,18 @@ SELECT c.doc_a, c.doc_b,
        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
 FROM cand c JOIN s sa ON sa.id = c.doc_a JOIN s sb ON sb.id = c.doc_b
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_RADIUS}""",
+        "image_phash_neardup": f"""
+WITH images AS ({_images_select('duck')}),
+corpus AS ({_phash_corpus_select('duck')}),
+bk AS (
+  SELECT image_id AS id, phash, band, (phash >> (band * 15)) & 32767 AS val
+  FROM corpus CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+cand AS (
+  SELECT DISTINCT l.id AS img_a, r.id AS img_b
+  FROM bk l JOIN bk r ON l.band = r.band AND l.val = r.val AND l.id < r.id)
+SELECT c.img_a, c.img_b, CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM cand c JOIN corpus a ON a.image_id = c.img_a JOIN corpus b ON b.image_id = c.img_b
+WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
         "embed_cosine_topk": f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1225,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "image_phash_neardup": q_image_phash_neardup,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_lsh_ann": q_embed_lsh_ann,

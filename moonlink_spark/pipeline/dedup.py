@@ -215,12 +215,44 @@ def simhash_pairs(
     never an all-pairs explosion — then one codegen'd
     bit_count(xor) verifies the exact distance. Exact recall requires
     radius ≤ bands−1 (asserted)."""
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    sh = sh.localCheckpoint(eager=True)  # feeds bucketing AND verification
+    return _banded_hamming_pairs(sh, radius=radius, bands=bands, bits=bits)
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+    radius: int = 2,
+    bands: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs among PRECOMPUTED integer fingerprints — e.g. image
+    perceptual hashes (phash), where Hamming distance ≤ *radius* means
+    visually-identical-up-to-recompression. Same banded pigeonhole search
+    as simhash_pairs, skipping the fingerprint computation: the input
+    column IS the fingerprint. No checkpoint needed — the source is a
+    column scan, cheap to recompute on both consumers. Returns
+    (doc_a, doc_b, hamming) keyed by *id_col* values."""
+    fp = df.select(F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("simhash"))
+    return _banded_hamming_pairs(fp, radius=radius, bands=bands, bits=bits)
+
+
+def _banded_hamming_pairs(
+    sh: DataFrame, radius: int, bands: int, bits: int
+) -> DataFrame:
+    """Pairs (a < b) with Hamming(fingerprint) ≤ radius from an (id, simhash)
+    frame, via banding: any pair within distance ≤ bands−1 must agree
+    EXACTLY on at least one band (pigeonhole), so candidates = pairs
+    sharing any (band, chunk-value) bucket — a hash join, never all-pairs —
+    then one codegen'd bit_count(xor) verifies the exact distance. Exact
+    recall requires radius ≤ bands−1 (asserted). Hot buckets (a dominant
+    fingerprint prefix) are the skew axis — AQE skew-join splits them."""
     if radius > bands - 1:
         raise ValueError(f"radius {radius} needs at least {radius + 1} bands for exact recall")
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
-    sh = sh.localCheckpoint(eager=True)  # feeds bucketing AND verification
     chunks = [
         F.struct(
             F.lit(b).alias("band"),

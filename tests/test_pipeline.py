@@ -204,6 +204,31 @@ def test_connected_components_star_long_chain_and_random(spark):
     assert star == label and star
 
 
+def test_hamming_near_dup_pairs_phash(spark):
+    """Banded Hamming search on a precomputed fingerprint column finds
+    exactly the planted 2-bit-flip variants (and a 0-distance exact dup),
+    and never pairs distant hashes; radius > bands-1 is rejected."""
+    import pytest
+
+    from moonlink_spark.pipeline.dedup import hamming_near_dup_pairs
+
+    base = 0x0F0F0F0F0F0F0F
+    rows = [
+        ("a", base),
+        ("a2", base ^ 0b11),                 # distance 2 -> pair
+        ("a3", base),                        # distance 0 -> pair
+        ("far", base ^ ((1 << 40) - 1)),     # distance 40 -> no pair
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(df, radius=3, bands=4).collect()
+    }
+    assert got == {("a", "a2", 2), ("a", "a3", 0), ("a2", "a3", 2)}
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, radius=4, bands=4)
+
+
 def test_dedup_groups_planted_cluster(spark):
     """Exact+near dup docs 0/1/2 form ONE group keyed by min id 0."""
     from moonlink_spark.pipeline.dedup import dedup_groups

@@ -308,6 +308,21 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(snapshot_id=pre, columns=_NO_BYTES.split(", "))
 
 
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback: after a MERGE mutates the table, a metadata-only rollback
+    commit restores the pre-merge row set (history preserved — the merge
+    snapshot stays time-travelable); scan of CURRENT state must equal the
+    original base table."""
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.operators.rollback import rollback_to
+
+    t = _make_table(spark, sf_dir, "rollback")
+    pre = t.current_snapshot_id()
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    rollback_to(t, pre, run_id="rb1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_expire_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row 24 (north-rule op): snapshot expiry + reachability orphan sweep
     after merge+compact; the surviving snapshot must scan identically."""
@@ -1263,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_hilbert": q_cluster_hilbert,
         "clustered_range_scan": q_clustered_range_scan,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "snapshot_rollback": q_snapshot_rollback,
         "expire_orphan_scan": q_expire_orphan_scan,
         "manifest_stats": q_manifest_stats,
         "zorder_key_kernel": q_zorder_key_kernel,
@@ -1321,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_zorder": lww.replace("changes", "changes") if False else None,  # set below
         "cluster_hilbert": None,
         "snapshot_time_travel": base_no_bytes,
+        "snapshot_rollback": base_no_bytes,
         "expire_orphan_scan": lww,
         "manifest_stats": f"""
 WITH images AS ({_images_select(d)})

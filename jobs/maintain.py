@@ -17,6 +17,9 @@ run_id so a re-submitted failed job resumes from lineage):
      mode=data -> best-effort compaction; mode=split -> compact then cluster
   3. expire snapshots + sweep orphans (if --expire-retain)
 Prints one JSON line of timings + lineage-derived metrics.
+
+--rollback-to SNAPSHOT_ID runs INSTEAD of the steps above: a metadata-only
+commit restoring that retained snapshot's exact row set (history kept).
 """
 
 from __future__ import annotations
@@ -43,6 +46,10 @@ def main() -> None:
     # forever.
     ap.add_argument("--sweep-mode", default="quarantine",
                     choices=["quarantine", "purge"])
+    # restore a retained snapshot's exact row set as a new commit (history
+    # preserved); runs INSTEAD of merge/optimize — a rollback followed by
+    # maintenance in one invocation would blur which state got maintained
+    ap.add_argument("--rollback-to", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,6 +80,19 @@ def main() -> None:
         r = fn()
         out["steps"][name] = round(time.time() - t0, 3)
         return r
+
+    if args.rollback_to is not None:
+        from moonlink_spark.operators.rollback import rollback_to
+
+        snap = timed("rollback", lambda: rollback_to(
+            table, args.rollback_to,
+            run_id=(run_id and f"{run_id}-rb") or None, lock_wait_seconds=3600))
+        out["rows"] = table.scan().count()
+        out["files"] = len(table.data_files())
+        out["snapshot"] = snap
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     if args.changes:
         changes = spark.read.parquet(args.changes)

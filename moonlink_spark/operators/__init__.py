@@ -5,8 +5,10 @@ from moonlink_spark.operators.clustering import cluster
 from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
 from moonlink_spark.operators.manifest_rewrite import rewrite_manifests
 from moonlink_spark.operators.optimize import optimize
+from moonlink_spark.operators.rollback import rollback_to
 
 __all__ = [
+    "rollback_to",
     "alter_table",
     "merge_into",
     "CompactionConfig",

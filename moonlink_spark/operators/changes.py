@@ -16,6 +16,12 @@ Semantics per snapshot in (from, to], walked in sequence order:
   pre-image rows — read from the PARENT snapshot's file set by position —
   emitted as 'D'. An update therefore appears as D(old) + A(new), exactly
   the decomposition moonlink's CDC stream uses (moonlink_sink.rs:295-326).
+- rollback (or any future op that DROPS files / delete files): the diff is
+  total — REMOVED data files emit their previously-live rows as 'D', and
+  REMOVED delete files emit the rows they had suppressed as 'I' (restored),
+  minus any position still deleted in the new state. Added files likewise
+  subtract the snapshot's own deletes on them, so a rollback INTO a
+  DV-carrying state never replays suppressed rows as inserts.
 - compact / cluster / rewrite-manifests / alter / expire: row sets are
   preserved by construction, so the LOGICAL changelog is empty — file-level
   rewrites are skipped entirely (Iceberg's changelog scan does the same).
@@ -68,22 +74,57 @@ def scan_changes(
             continue
         if s.operation not in _LAYOUT_ONLY_OPS:
             prev_data = table.data_files(prev.snapshot_id)
+            cur_data = table.data_files(s.snapshot_id)
+            prev_del_entries = table.delete_files(prev.snapshot_id)
+            cur_del_entries = table.delete_files(s.snapshot_id)
             prev_files = {norm_path(f.file_path) for f in prev_data}
-            prev_dels = {norm_path(d.file_path) for d in table.delete_files(prev.snapshot_id)}
-            added_files = [
-                f for f in table.data_files(s.snapshot_id)
-                if norm_path(f.file_path) not in prev_files
-            ]
-            added_dels = [
-                d for d in table.delete_files(s.snapshot_id)
-                if norm_path(d.file_path) not in prev_dels
-            ]
-            if added_files:
-                ins = table._read_data(added_files, with_position=False).select(*cols)
-                parts.append(
-                    ins.withColumn("_change_op", F.lit("I"))
-                    .withColumn("_change_snapshot_id", F.lit(s.snapshot_id).cast("long"))
+            cur_files = {norm_path(f.file_path) for f in cur_data}
+            prev_dels = {norm_path(d.file_path) for d in prev_del_entries}
+            cur_dels = {norm_path(d.file_path) for d in cur_del_entries}
+            added_files = [f for f in cur_data if norm_path(f.file_path) not in prev_files]
+            removed_files = [f for f in prev_data if norm_path(f.file_path) not in cur_files]
+            added_dels = [d for d in cur_del_entries if norm_path(d.file_path) not in prev_dels]
+            removed_dels = [d for d in prev_del_entries if norm_path(d.file_path) not in cur_dels]
+            # the current state's full delete set, expanded at most once per
+            # snapshot delta and shared by the branches below (plans, not jobs)
+            cur_del_rows = table._read_deletes(cur_del_entries)
+
+            def _tag(df: DataFrame, op: str) -> DataFrame:
+                return df.withColumn("_change_op", F.lit(op)).withColumn(
+                    "_change_snapshot_id", F.lit(s.snapshot_id).cast("long")
                 )
+
+            if added_files:
+                # rows of freshly-added files, minus positions the SAME
+                # snapshot already deletes ON THOSE FILES (a merge's insert
+                # files carry no deletes, so the filtered delete side is
+                # empty there; a rollback into a DV-carrying state must not
+                # replay suppressed rows)
+                ins = table._read_data(added_files, with_position=cur_del_rows is not None)
+                if cur_del_rows is not None:
+                    added_paths = [norm_path(f.file_path) for f in added_files]
+                    on_added = cur_del_rows.filter(F.col("file_path").isin(added_paths))
+                    ins = ins.join(
+                        on_added,
+                        (ins["_fp"] == on_added["file_path"])
+                        & (ins["_pos"] == on_added["pos"]),
+                        "left_anti",
+                    )
+                parts.append(_tag(ins.select(*cols), "I"))
+            if removed_files:
+                # semantic delete of every row still LIVE in prev (a file
+                # dropped together with its DVs must not re-emit rows those
+                # DVs had already suppressed)
+                old = table._read_data(removed_files, with_position=True)
+                prev_del_rows = table._read_deletes(prev_del_entries)
+                if prev_del_rows is not None:
+                    old = old.join(
+                        prev_del_rows,
+                        (old["_fp"] == prev_del_rows["file_path"])
+                        & (old["_pos"] == prev_del_rows["pos"]),
+                        "left_anti",
+                    )
+                parts.append(_tag(old.select(*cols), "D"))
             if added_dels:
                 # _read_deletes applies the expanded-position broadcast gate
                 # (broadcast small, force shuffle join when the bitmap
@@ -104,10 +145,37 @@ def scan_changes(
                     (old["_fp"] == dels["file_path"]) & (old["_pos"] == dels["pos"]),
                     "left_semi",
                 ).select(*cols)
-                parts.append(
-                    pre_image.withColumn("_change_op", F.lit("D"))
-                    .withColumn("_change_snapshot_id", F.lit(s.snapshot_id).cast("long"))
-                )
+                parts.append(_tag(pre_image, "D"))
+            if removed_dels:
+                # positions a dropped delete file had suppressed come back
+                # to life — IF their target file survives into the new state
+                # and the new state doesn't still delete them
+                restored = table._read_deletes(removed_dels)
+                if cur_del_rows is not None:
+                    restored = restored.join(
+                        cur_del_rows,
+                        ["file_path", "pos"],
+                        "left_anti",
+                    )
+                # the final semi-join only reads SURVIVING target files, so
+                # restored positions of files that were dropped too simply
+                # never match — no explicit path filter needed
+                targets = {
+                    norm_path(r["file_path"])
+                    for r in restored.select("file_path").distinct().collect()
+                } & cur_files
+                if targets:
+                    target_files = [
+                        f for f in cur_data if norm_path(f.file_path) in targets
+                    ]
+                    live = table._read_data(target_files, with_position=True)
+                    back = live.join(
+                        restored,
+                        (live["_fp"] == restored["file_path"])
+                        & (live["_pos"] == restored["pos"]),
+                        "left_semi",
+                    ).select(*cols)
+                    parts.append(_tag(back, "I"))
         prev = s
 
     if not parts:

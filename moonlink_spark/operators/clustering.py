@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -125,13 +126,18 @@ def _plan(
     # seeded sample -> curve keys -> quantile boundaries. The sample reads a
     # SUBSET of files (every k-th, ≤32): rows are hash-distributed across
     # files, so a file subset is an unbiased key sample, and the plan pass
-    # opens 32 files instead of the whole table's worth.
+    # opens 32 files instead of the whole table's worth. The read is RAW
+    # (no deletion-vector anti-join): deleted rows bias the quantiles only
+    # by the delete share — which the salts and AQE absorb — while the DV
+    # read+join costs ~1s of driver/job time that is CONSTANT across
+    # parallelism levels, i.e. pure serial fraction against the ≥0.8
+    # scaling-efficiency target.
     files_sorted = sorted(files, key=lambda f: f.file_path)
     stride = max(1, len(files_sorted) // 32)
     sample_files = files_sorted[::stride][:32]
     sample_rows = max(1, sum(f.record_count for f in sample_files))
     frac = min(1.0, _SAMPLE_TARGET / sample_rows)
-    sample_scan = table.scan(columns=by, files=sample_files)
+    sample_scan = table._read_data(sample_files, with_position=False).select(*by)
     sample_pdf = (
         sample_scan.sample(fraction=frac, seed=_SEED).toPandas()
         if frac < 1.0
@@ -288,7 +294,10 @@ def _cluster_locked(
     target_bytes: int,
     bits: int,
 ) -> int:
+    stage_t: dict[str, float] = {}
+    t0 = time.time()
     plan = _plan(table, run_id, by, curve, target_bytes, bits)
+    stage_t["plan_sec"] = round(time.time() - t0, 3)
     lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
 
     key_col = table.key_columns[0] if table.key_columns else by[0]
@@ -306,6 +315,7 @@ def _cluster_locked(
     if done_bins:
         df = df.filter(~F.col("_bin").isin(done_bins))
 
+    t0 = time.time()
     new_files = write_datafiles(
         df,
         data_dir=table.catalog.data_dir,
@@ -316,6 +326,8 @@ def _cluster_locked(
         sort_within=["_zkey"],
         lineage_dir=lineage_dir,
     )
+    stage_t["rewrite_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
     for f in new_files:
         f.cluster_by = plan.curve
 
@@ -338,19 +350,8 @@ def _cluster_locked(
                 )
             )
 
-    # per-run lineage metrics (files-in/out, bytes, rows; per-bin detail
-    # lives in the bin-*.json records written by write_datafiles)
     in_files = [f for f in table.data_files() if norm_path(f.file_path) in set(plan.victims)]
-    with open(os.path.join(lineage_dir, "metrics.json"), "w") as fh:
-        json.dump({
-            "files_in": plan.victims,
-            "files_out": [f.file_path for f in new_files],
-            "bytes_in": sum(f.file_size_bytes for f in in_files),
-            "bytes_out": sum(f.file_size_bytes for f in new_files),
-            "rows_in": sum(f.record_count for f in in_files),
-            "rows_out": sum(f.record_count for f in new_files),
-            "salts": plan.salts,
-        }, fh)
+    stage_t["reconstruct_sec"] = round(time.time() - t0, 3)
 
     # commit rebase on conflict: merges/compactions can't race (same lock)
     # but lock-free additive appends can — recompute survivors from fresh
@@ -360,6 +361,8 @@ def _cluster_locked(
     victim_set = set(plan.victims)
     out_set = {norm_path(f.file_path) for f in new_files}
     last_conflict: Exception | None = None
+    snapshot_id: int | None = None
+    t0 = time.time()
     for _ in range(5):
         # pin the commit to the parent read BEFORE the survivor list — an
         # append CASing in between would otherwise be silently clobbered
@@ -371,7 +374,7 @@ def _cluster_locked(
             and norm_path(f.file_path) not in out_set
         ]
         try:
-            return table.commit_snapshot(
+            snapshot_id = table.commit_snapshot(
                 "cluster",
                 survivors + new_files,
                 [],  # full rewrite applied all deletes inline -> table is DV-free
@@ -386,6 +389,27 @@ def _cluster_locked(
                     "salted-bins": int(sum(1 for s in plan.salts if s > 1)),
                 },
             )
+            break
         except CommitConflict as e:
             last_conflict = e
-    raise last_conflict  # type: ignore[misc]
+    if snapshot_id is None:
+        raise last_conflict  # type: ignore[misc]
+    stage_t["commit_sec"] = round(time.time() - t0, 3)
+
+    # per-run lineage metrics (files-in/out, bytes, rows; per-bin detail
+    # lives in the bin-*.json records written by write_datafiles). Stage
+    # timings expose the serial/parallel split: plan = sample+quantile
+    # (mostly serial driver work), rewrite = the shuffle+write job (the
+    # parallel part), reconstruct/commit = driver-side metadata.
+    with open(os.path.join(lineage_dir, "metrics.json"), "w") as fh:
+        json.dump({
+            "files_in": plan.victims,
+            "files_out": [f.file_path for f in new_files],
+            "bytes_in": sum(f.file_size_bytes for f in in_files),
+            "bytes_out": sum(f.file_size_bytes for f in new_files),
+            "rows_in": sum(f.record_count for f in in_files),
+            "rows_out": sum(f.record_count for f in new_files),
+            "salts": plan.salts,
+            "stage_seconds": stage_t,
+        }, fh)
+    return snapshot_id

@@ -50,9 +50,17 @@ def main() -> None:
 
     rows = table.scan().count()
     maint = timings["compact_cluster_fused"]
+    # stage split recorded by the cluster operator's lineage metrics:
+    # plan (serial driver work) vs rewrite (the parallel shuffle+write)
+    stages = {}
+    mpath = os.path.join(root, "metadata", "lineage", "sf1", "metrics.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            stages = json.load(f).get("stage_seconds", {})
     print(json.dumps({
         "cores": cores,
         "queries": timings,
+        "fused_stage_seconds": stages,
         "live_bytes": live,
         "rows": rows,
         "maint_sec": round(maint, 3),

@@ -323,6 +323,22 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_tagged_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags (Iceberg tag semantics): tag the base snapshot, mutate
+    the table with a MERGE, expire everything but the newest snapshot, sweep
+    orphans — the tagged snapshot must survive both and scan by name equal
+    to the original base table."""
+    from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "tagged_scan")
+    t.create_tag("v1")
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    expire_snapshots(t, retain_last=1)
+    sweep_orphans(t, quarantine=False, older_than_seconds=0)
+    return t.scan(ref="v1", columns=_NO_BYTES.split(", "))
+
+
 def q_expire_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row 24 (north-rule op): snapshot expiry + reachability orphan sweep
     after merge+compact; the surviving snapshot must scan identically."""
@@ -1279,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_range_scan": q_clustered_range_scan,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_rollback": q_snapshot_rollback,
+        "tagged_snapshot_scan": q_tagged_snapshot_scan,
         "expire_orphan_scan": q_expire_orphan_scan,
         "manifest_stats": q_manifest_stats,
         "zorder_key_kernel": q_zorder_key_kernel,
@@ -1338,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_hilbert": None,
         "snapshot_time_travel": base_no_bytes,
         "snapshot_rollback": base_no_bytes,
+        "tagged_snapshot_scan": base_no_bytes,
         "expire_orphan_scan": lww,
         "manifest_stats": f"""
 WITH images AS ({_images_select(d)})

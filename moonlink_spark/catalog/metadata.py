@@ -119,6 +119,11 @@ class TableMetadata:
     # files project NULL for the re-added column (see DataFile.field_ids)
     field_ids: dict[str, int] = field(default_factory=dict)
     next_field_id: int = 1
+    # named immutable snapshot refs (Iceberg tag semantics): name ->
+    # snapshot_id. Tagged snapshots are exempt from expiry until the tag is
+    # dropped, so a tag is a durable "release"/audit pin a reader can scan
+    # by name long after retain-last-K would have expired it.
+    refs: dict[str, int] = field(default_factory=dict)
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         for s in self.snapshots:

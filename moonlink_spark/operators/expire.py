@@ -67,6 +67,9 @@ def expire_snapshots(table: MoonTable, retain_last: int = 3) -> list[int]:
     keep_ids = {s.snapshot_id for s in keep}
     if meta.current_snapshot_id is not None:
         keep_ids.add(meta.current_snapshot_id)
+    # tagged snapshots are pinned (Iceberg tag semantics): a tag is an
+    # explicit promise that scan(ref=...) keeps working until drop_tag
+    keep_ids.update(meta.refs.values())
     expired = [s.snapshot_id for s in snaps if s.snapshot_id not in keep_ids]
     meta.snapshots = [s for s in snaps if s.snapshot_id in keep_ids]
     table.catalog.commit(meta, expected_version=version)

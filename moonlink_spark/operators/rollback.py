@@ -50,11 +50,13 @@ def rollback_to(
     docstring — never silently discards a racing append)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     with table.maintenance_lock("rollback", run_id, wait_seconds=lock_wait_seconds):
-        if table.meta.snapshot_by_id(snapshot_id) is None:
+        try:
+            table.meta.snapshot_by_id(snapshot_id)
+        except KeyError:
             raise KeyError(
                 f"snapshot {snapshot_id} is not retained in {table.root} — "
                 f"rollback needs the target snapshot's manifests"
-            )
+            ) from None
         if snapshot_id == table.current_snapshot_id():
             return snapshot_id  # already there; no empty commit
         parent_sid = table.current_snapshot_id()

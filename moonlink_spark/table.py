@@ -460,12 +460,65 @@ class MoonTable:
             deletes = deletes.hint("shuffle_hash")
         return deletes
 
+    # ------------------------------------------------------- snapshot tags
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin *snapshot_id* (default: current) under an immutable name
+        (Iceberg tag semantics). Tagged snapshots survive expire_snapshots
+        until drop_tag. Metadata-only CAS commit; re-creating an existing
+        tag at the SAME snapshot is a no-op, at a different one an error
+        (tags never move — that's what rollback/branching would be for)."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        for _ in range(5):
+            meta = self.catalog.load()
+            version = self.catalog.current_version()
+            sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+            if sid is None:
+                raise ValueError("cannot tag an empty table (no snapshot)")
+            meta.snapshot_by_id(sid)  # raises KeyError if expired
+            if name in meta.refs:
+                if meta.refs[name] == sid:
+                    return sid
+                raise ValueError(
+                    f"tag {name!r} already points at snapshot {meta.refs[name]} "
+                    f"(tags are immutable; drop it first)"
+                )
+            meta.refs[name] = sid
+            try:
+                self.catalog.commit(meta, expected_version=version)
+                return sid
+            except CommitConflict:
+                continue  # racing commit bumped the version — re-read, retry
+        raise CommitConflict(f"could not commit tag {name!r} after retries")
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; its snapshot becomes expirable again."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        for _ in range(5):
+            meta = self.catalog.load()
+            version = self.catalog.current_version()
+            if name not in meta.refs:
+                raise KeyError(f"tag {name!r} not found")
+            del meta.refs[name]
+            try:
+                self.catalog.commit(meta, expected_version=version)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"could not drop tag {name!r} after retries")
+
+    def refs(self) -> dict[str, int]:
+        """Current tag name -> snapshot id mapping."""
+        return dict(self.meta.refs)
+
     def scan(
         self,
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
         with_position: bool = False,
         files: list[DataFile] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read: data files of the snapshot, anti-joined
         with its position deletes (reference read path:
@@ -475,8 +528,15 @@ class MoonTable:
         caller filters/projects the returned DataFrame, the parquet scan
         reads only what's needed. *files* restricts the scan to a planner-
         chosen subset (manifest-stats pruning); delete filtering still
-        applies.
+        applies. *ref* resolves a tag name to its pinned snapshot.
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            refs = self.meta.refs
+            if ref not in refs:
+                raise KeyError(f"tag {ref!r} not found")
+            snapshot_id = refs[ref]
         files = self.data_files(snapshot_id) if files is None else files
         dfiles = self.delete_files(snapshot_id)
         need_pos = with_position or bool(dfiles)

@@ -552,6 +552,32 @@ def q_optimize_full_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering (the steady-state daily op at 100 TB): after a
+    full Z-order layout, a fresh append lands unclustered; scope=incremental
+    rewrites ONLY those files into the curve — clustered survivors are
+    untouched by path — and the row set is base ∪ appended."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.catalog.metadata import norm_path
+    from moonlink_spark.operators.clustering import cluster
+
+    t = _make_table(spark, sf_dir, "cluster_incr", rows_per_file=2048)
+    cluster(t, by=["phash", "w", "h"], curve="zorder", run_id="z1")
+    pre_paths = {norm_path(f.file_path) for f in t.data_files()}
+
+    more = _images_df(spark, sf_dir).filter(
+        F.expr("CAST(substr(image_id, 5) AS BIGINT) % 4 = 0")
+    ).withColumn("image_id", F.concat(F.lit("im2-"), F.col("image_id")))
+    t.append(more, run_id="a2")
+    sid = cluster(t, by=["phash", "w", "h"], run_id="i1", scope="incremental")
+    assert sid is not None
+    after = {norm_path(f.file_path): f for f in t.data_files()}
+    assert pre_paths <= set(after)  # survivors untouched by path
+    assert all(f.cluster_by == "zorder" for f in after.values())
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_drop_readd_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-id projection (iceberg_table_manager.rs:88-89): drop `fmt`,
     re-add it under the same name — pre-drop files must read NULL (id-based
@@ -1304,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_changes_cdc": q_scan_changes_cdc,
         "optimize_data": q_optimize_data,
         "optimize_full_cluster": q_optimize_full_cluster,
+        "cluster_incremental": q_cluster_incremental,
         "alter_schema_evolution": q_alter_schema_evolution,
         "drop_readd_column": q_drop_readd_column,
         # training-data pipeline
@@ -1369,6 +1396,12 @@ FROM images""",
         "read_at_lsn": _lww_select(d, lsn_lt=_LSN_CUT),
         "optimize_data": base_no_bytes,
         "optimize_full_cluster": lww,
+        "cluster_incremental": f"""
+WITH images AS ({_images_select('duck')})
+SELECT {_NO_BYTES} FROM images
+UNION ALL
+SELECT ('im2-' || image_id) AS image_id, w, h, fmt, caption, phash
+FROM images WHERE CAST(substr(image_id, 5) AS BIGINT) % 4 = 0""",
         # changelog: I = merge's post-image rows (final batch rows that are
         # not deletes); D = pre-images of every BASE row whose key the batch
         # touched (the positional probe deletes matched keys for any op)

@@ -14,7 +14,9 @@ Steps (each optional, each an atomic snapshot commit, all idempotent per
 run_id so a re-submitted failed job resumes from lineage):
   1. MERGE the staged CDC batch (if --changes)
   2. optimize: mode=full + --cluster-by -> FUSED compact+cluster;
-     mode=data -> best-effort compaction; mode=split -> compact then cluster
+     mode=data -> best-effort compaction; mode=split -> compact then
+     cluster; mode=incremental + --cluster-by -> cluster ONLY files not
+     yet on the curve (the steady-state daily op)
   3. expire snapshots + sweep orphans (if --expire-retain)
 Prints one JSON line of timings + lineage-derived metrics.
 
@@ -36,7 +38,8 @@ def main() -> None:
     ap.add_argument("--changes", default=None)
     ap.add_argument("--cluster-by", default=None)
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
-    ap.add_argument("--mode", default="full", choices=["full", "data", "split"])
+    ap.add_argument("--mode", default="full",
+                    choices=["full", "data", "split", "incremental"])
     ap.add_argument("--expire-retain", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--sweep-grace-seconds", type=float, default=3 * 24 * 3600)

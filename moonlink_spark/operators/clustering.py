@@ -109,19 +109,38 @@ def _plan(
     curve: str,
     target_bytes: int,
     bits: int,
-) -> ClusterPlan:
+    scope: str = "full",
+) -> ClusterPlan | None:
     lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
     plan_path = os.path.join(lineage_dir, "plan.json")
     if os.path.exists(plan_path):
         with open(plan_path) as f:
             return ClusterPlan.from_json(f.read())
 
-    files = table.data_files()
+    all_files = table.data_files()
+    if scope == "incremental":
+        # only files not already laid out on this curve (fresh appends /
+        # merge inserts), plus delete-heavy clustered files whose rewrite
+        # is due anyway — the 100 TB answer to "absorb a day of appends
+        # without re-shuffling the whole table"
+        files = [
+            f
+            for f in all_files
+            if f.cluster_by != curve
+            or (f.record_count > 0 and f.deleted_count / f.record_count >= 0.5)
+        ]
+        if not files:
+            return None
+    else:
+        files = all_files
     victims = [norm_path(f.file_path) for f in files]
     total_live = sum(f.live_bytes for f in files)
     total_rows = max(1, sum(f.live_count for f in files))
     base_bins = max(1, -(-total_live // target_bytes))
-    bounds = _column_bounds(table, files, by)
+    # key-space bounds come from the WHOLE table's stats even in incremental
+    # scope (free metadata): victim keys then quantize identically to the
+    # existing layout's, so new files interleave into the same value ranges
+    bounds = _column_bounds(table, all_files, by)
 
     # seeded sample -> curve keys -> quantile boundaries. The sample reads a
     # SUBSET of files (every k-th, ≤32): rows are hash-distributed across
@@ -278,12 +297,24 @@ def cluster(
     target_bytes: int = COMPACT_TARGET_BYTES,
     bits: int = DEFAULT_BITS,
     lock_wait_seconds: float = 0.0,
-) -> int:
-    """Full-table clustering rewrite; returns the new snapshot id."""
+    scope: str = "full",
+) -> int | None:
+    """Clustering rewrite; returns the new snapshot id (None if incremental
+    scope found nothing to do).
+
+    scope="full": rewrite the whole table into curve order (the heavy,
+    rarely-run op). scope="incremental": rewrite ONLY files not yet on this
+    curve (fresh appends, merge inserts) plus delete-heavy clustered files —
+    survivors and their deletion vectors are untouched except that delete
+    rows targeting victims are applied inline and the surviving delete set
+    is rewritten (compaction's DV carry-over). At 100 TB this is the daily
+    op: victim bytes ≈ the day's ingest, not the table."""
     by = by or ["phash", "w", "h"]
     run_id = run_id or uuid.uuid4().hex[:12]
+    if scope not in ("full", "incremental"):
+        raise ValueError(f"unknown scope {scope!r} (full|incremental)")
     with table.maintenance_lock("cluster", run_id, wait_seconds=lock_wait_seconds):
-        return _cluster_locked(table, by, curve, run_id, target_bytes, bits)
+        return _cluster_locked(table, by, curve, run_id, target_bytes, bits, scope)
 
 
 def _cluster_locked(
@@ -293,10 +324,13 @@ def _cluster_locked(
     run_id: str,
     target_bytes: int,
     bits: int,
-) -> int:
+    scope: str = "full",
+) -> int | None:
     stage_t: dict[str, float] = {}
     t0 = time.time()
-    plan = _plan(table, run_id, by, curve, target_bytes, bits)
+    plan = _plan(table, run_id, by, curve, target_bytes, bits, scope)
+    if plan is None:
+        return None
     stage_t["plan_sec"] = round(time.time() - t0, 3)
     lineage_dir = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
 
@@ -311,7 +345,16 @@ def _cluster_locked(
             if name.startswith("bin-") and name.endswith(".json"):
                 done_bins.append(int(name[4:-5]))
 
-    df = assign_keys_and_bins(table.scan(), plan, key_col=key_col, bits=bits)
+    # read ONLY the plan's victims (== every file in full scope); scan()
+    # still applies the table's deletion vectors, so victim rows suppressed
+    # by a DV are dropped inline and victims' delete entries die with them
+    victim_set_early = set(plan.victims)
+    victim_files = [
+        f for f in table.data_files() if norm_path(f.file_path) in victim_set_early
+    ]
+    df = assign_keys_and_bins(
+        table.scan(files=victim_files), plan, key_col=key_col, bits=bits
+    )
     if done_bins:
         df = df.filter(~F.col("_bin").isin(done_bins))
 
@@ -353,6 +396,25 @@ def _cluster_locked(
     in_files = [f for f in table.data_files() if norm_path(f.file_path) in set(plan.victims)]
     stage_t["reconstruct_sec"] = round(time.time() - t0, 3)
 
+    # surviving deletes: full scope rewrote every file, so the table is
+    # DV-free; incremental scope must carry over delete rows that target
+    # SURVIVORS (compaction's DV carry-over — victims' deletes were applied
+    # inline by the scan above and die with the victims)
+    t0 = time.time()
+    new_delete_entries: list = []
+    n_surviving_deletes = 0
+    if scope == "incremental":
+        delete_files = table.delete_files()
+        if delete_files:
+            deletes_df = table._read_deletes(delete_files)
+            surviving = deletes_df.filter(~F.col("file_path").isin(plan.victims))
+            n_surviving_deletes = surviving.count()
+            if n_surviving_deletes > 0:
+                new_delete_entries = table.write_position_deletes(
+                    surviving, run_id=run_id + "-dv", num_bins=1
+                )
+    stage_t["dv_carryover_sec"] = round(time.time() - t0, 3)
+
     # commit rebase on conflict: merges/compactions can't race (same lock)
     # but lock-free additive appends can — recompute survivors from fresh
     # state so their files survive the rewrite commit
@@ -377,15 +439,17 @@ def _cluster_locked(
             snapshot_id = table.commit_snapshot(
                 "cluster",
                 survivors + new_files,
-                [],  # full rewrite applied all deletes inline -> table is DV-free
+                new_delete_entries,
                 expected_parent_snapshot=parent_sid,
                 summary={
                     "run_id": run_id,
                     "curve": plan.curve,
                     "by": plan.by,
+                    "scope": scope,
                     "removed-files": len(plan.victims),
                     "added-files": len(new_files),
                     "added-records": sum(f.record_count for f in new_files),
+                    "surviving-delete-positions": n_surviving_deletes,
                     "salted-bins": int(sum(1 for s in plan.salts if s > 1)),
                 },
             )

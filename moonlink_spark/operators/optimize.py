@@ -50,4 +50,14 @@ def optimize(
             table, CompactionConfig(mode="force_full", target_bytes=tb),
             run_id=run_id, lock_wait_seconds=lock_wait_seconds,
         )
-    raise ValueError(f"unknown optimize mode {mode!r} (data|index|full)")
+    if mode == "incremental":
+        # the steady-state daily op: absorb unclustered appends/merge
+        # inserts into the existing curve layout without touching the rest
+        if not cluster_by:
+            raise ValueError("mode='incremental' needs cluster_by")
+        return cluster(
+            table, by=cluster_by, curve=curve, run_id=run_id,
+            target_bytes=tb, lock_wait_seconds=lock_wait_seconds,
+            scope="incremental",
+        )
+    raise ValueError(f"unknown optimize mode {mode!r} (data|index|full|incremental)")

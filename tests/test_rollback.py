@@ -24,7 +24,7 @@ def test_rollback_restores_rowset_and_keeps_history(spark, tmp_table_root):
     pre = t.current_snapshot_id()
     base = as_sorted_rows(t.scan(columns=["image_id", "caption", "phash"]))
 
-    merge_into(t, generate_changes_df(spark, N, 120, seed=3), run_id="m1")
+    merge_into(t, generate_changes_df(spark, N, 120, seed=42), run_id="m1")
     merged_snap = t.current_snapshot_id()
     merged = as_sorted_rows(t.scan(columns=["image_id", "caption", "phash"]))
     assert merged != base
@@ -72,7 +72,7 @@ def test_changelog_total_across_rollback(spark, tmp_table_root):
     the base row set again."""
     t = create_images_table(spark, tmp_table_root, N, seed=42)
     pre = t.current_snapshot_id()
-    merge_into(t, generate_changes_df(spark, N, 120, seed=3), run_id="m1")
+    merge_into(t, generate_changes_df(spark, N, 120, seed=42), run_id="m1")
     merged_snap = t.current_snapshot_id()
     rollback_to(t, pre, run_id="rb1")
 

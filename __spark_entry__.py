@@ -806,6 +806,30 @@ def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_streaming_cdc_self_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-maintaining streaming ingest: same CDC drain as
+    streaming_cdc_merge, but a MaintenancePolicy inside the foreachBatch
+    loop triggers INCREMENTAL clustering whenever off-curve pressure
+    crosses its thresholds — the table is continuously read-optimized
+    (every live file on the curve at the end) and the row set is still the
+    exact LWW state."""
+    from moonlink_spark.operators.clustering import cluster
+    from moonlink_spark.streaming.ingest import MaintenancePolicy, ingest_cdc_dir
+
+    t = _make_table(spark, sf_dir, "stream_maint")
+    cluster(t, by=["phash", "w", "h"], curve="zorder", run_id="z0")
+    stage = _fresh_root("stream_maint_src")
+    ckpt = _fresh_root("stream_maint_ckpt")
+    _changes_df(spark, sf_dir).coalesce(1).write.parquet(stage)
+    policy = MaintenancePolicy(cluster_by=["phash", "w", "h"],
+                               max_unclustered_files=1, max_unclustered_bytes=1)
+    ingest_cdc_dir(t, stage, ckpt, maintenance=policy)
+    assert all(f.cluster_by == "zorder" for f in t.data_files())
+    ops = {(s.operation, s.summary.get("scope")) for s in t.snapshots()}
+    assert ("cluster", "incremental") in ops
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation (readStream -> watermark ->
     tumbling window -> stateful agg -> memory sink, Trigger.AvailableNow) —
@@ -1350,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups_lsh": q_embed_near_dups_lsh,
         "events_window_agg": q_events_window_agg,
         "streaming_cdc_merge": q_streaming_cdc_merge,
+        "streaming_cdc_self_maintain": q_streaming_cdc_self_maintain,
         "events_stream_window": q_events_stream_window,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
@@ -1378,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_cdc_lww": lww,
         "compact_small_files": lww,
         "streaming_cdc_merge": lww,
+        "streaming_cdc_self_maintain": lww,
         "cluster_zorder": lww.replace("changes", "changes") if False else None,  # set below
         "cluster_hilbert": None,
         "snapshot_time_travel": base_no_bytes,

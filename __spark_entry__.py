@@ -578,6 +578,27 @@ def q_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: a staged append is durable but INVISIBLE (scan
+    and changelog both ignore it) until publish atomically flips the
+    current pointer — the Iceberg WAP pattern for audited ingestion. Final
+    scan = base ∪ the staged-then-published batch."""
+    from pyspark.sql import functions as F
+
+    t = _make_table(spark, sf_dir, "wap")
+    pre = t.current_snapshot_id()
+    more = _images_df(spark, sf_dir).filter(
+        F.expr("CAST(substr(image_id, 5) AS BIGINT) % 4 = 0")
+    ).withColumn("image_id", F.concat(F.lit("im2-"), F.col("image_id")))
+    staged = t.append(more, run_id="s1", stage_only=True)
+    assert t.current_snapshot_id() == pre  # invisible until publish
+    from moonlink_spark.operators.changes import scan_changes
+
+    assert scan_changes(t, pre).isEmpty()
+    t.publish_snapshot(staged)
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_drop_readd_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-id projection (iceberg_table_manager.rs:88-89): drop `fmt`,
     re-add it under the same name — pre-drop files must read NULL (id-based
@@ -1355,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_data": q_optimize_data,
         "optimize_full_cluster": q_optimize_full_cluster,
         "cluster_incremental": q_cluster_incremental,
+        "wap_publish_scan": q_wap_publish_scan,
         "alter_schema_evolution": q_alter_schema_evolution,
         "drop_readd_column": q_drop_readd_column,
         # training-data pipeline
@@ -1423,6 +1445,12 @@ FROM images""",
         "optimize_data": base_no_bytes,
         "optimize_full_cluster": lww,
         "cluster_incremental": f"""
+WITH images AS ({_images_select('duck')})
+SELECT {_NO_BYTES} FROM images
+UNION ALL
+SELECT ('im2-' || image_id) AS image_id, w, h, fmt, caption, phash
+FROM images WHERE CAST(substr(image_id, 5) AS BIGINT) % 4 = 0""",
+        "wap_publish_scan": f"""
 WITH images AS ({_images_select('duck')})
 SELECT {_NO_BYTES} FROM images
 UNION ALL

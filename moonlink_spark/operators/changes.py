@@ -54,24 +54,34 @@ def scan_changes(
     columns plus `_change_op` ('I' inserted / 'D' deleted pre-image) and
     `_change_snapshot_id`."""
     meta = table.meta
-    snaps = sorted(meta.snapshots, key=lambda s: s.sequence_number)
-    by_id = {s.snapshot_id: s for s in snaps}
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
     if to_snapshot_id is None:
         to_snapshot_id = meta.current_snapshot_id
     if from_snapshot_id not in by_id or to_snapshot_id not in by_id:
         raise KeyError("from/to snapshot not found (expired?)")
-    lo = by_id[from_snapshot_id].sequence_number
-    hi = by_id[to_snapshot_id].sequence_number
-    if hi < lo:
-        raise ValueError("to_snapshot precedes from_snapshot")
+
+    # walk the PARENT CHAIN from `to` back to `from` (exclusive) — not
+    # sequence order: staged-but-unpublished snapshots (write-audit-publish)
+    # share the sequence numbering but are NOT on the published lineage, and
+    # must never appear in a consumer's changelog
+    chain: list = []
+    cur = by_id[to_snapshot_id]
+    while cur.snapshot_id != from_snapshot_id:
+        chain.append(cur)
+        pid = cur.parent_id
+        if pid is None or pid not in by_id:
+            raise KeyError(
+                f"snapshot {from_snapshot_id} is not a retained ancestor of "
+                f"{to_snapshot_id} (expired, or reversed/unpublished lineage)"
+            )
+        cur = by_id[pid]
+    chain.reverse()
 
     cols = columns or [f.name for f in table.schema.fields]
     parts: list[DataFrame] = []
 
     prev = by_id[from_snapshot_id]
-    for s in snaps:
-        if not (lo < s.sequence_number <= hi):
-            continue
+    for s in chain:
         if s.operation not in _LAYOUT_ONLY_OPS:
             prev_data = table.data_files(prev.snapshot_id)
             cur_data = table.data_files(s.snapshot_id)

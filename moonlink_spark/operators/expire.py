@@ -56,8 +56,13 @@ _DRIVER_SWEEP_MAX = 100_000
 
 def expire_snapshots(table: MoonTable, retain_last: int = 3) -> list[int]:
     """Drop all but the newest *retain_last* snapshots (the current snapshot
-    is always retained). Metadata-only commit; data files are reclaimed by
-    sweep_orphans. Returns expired snapshot ids."""
+    and tagged snapshots are always retained). Metadata-only commit; data
+    files are reclaimed by sweep_orphans. Returns expired snapshot ids.
+
+    Staged-but-unpublished snapshots (write-audit-publish) age out like any
+    other once they fall out of the newest-K window — a later
+    publish_snapshot of an expired stage fails cleanly (Iceberg expires
+    stale WAP snapshots the same way); tag a stage to pin it."""
     meta = table.catalog.load()
     version = table.catalog.current_version()
     snaps = sorted(meta.snapshots, key=lambda s: s.sequence_number)

@@ -139,9 +139,16 @@ class MoonTable:
         summary: dict | None = None,
         force_rewrite: bool = False,
         expected_parent_snapshot: int | None | object = _UNSET,
+        stage_only: bool = False,
     ) -> int:
         """Commit the *complete* new file state as a snapshot via catalog CAS.
         Returns the new snapshot id.
+
+        *stage_only* is the write half of write-audit-publish (Iceberg's WAP
+        pattern): the snapshot is durably recorded with the current snapshot
+        as its parent, but the table's current pointer does NOT move — no
+        reader sees the data until publish_snapshot() flips the pointer
+        after the audit passes (scan(snapshot_id=staged) reads it).
 
         Manifest writes are INCREMENTAL (O(delta), not O(table)): chunks of
         the parent snapshot whose entries are unchanged are reused by name;
@@ -236,7 +243,8 @@ class MoonTable:
             timestamp_ms=seq,
         )
         meta.snapshots.append(snap)
-        meta.current_snapshot_id = seq
+        if not stage_only:
+            meta.current_snapshot_id = seq
         meta.last_sequence_number = seq
         self.catalog.commit(meta, expected_version=version)
         return seq
@@ -249,6 +257,7 @@ class MoonTable:
         rows_per_file: int = 131_072,
         explicit_bins: DataFrame | None = None,
         num_bins: int | None = None,
+        stage_only: bool = False,
     ) -> int:
         """Bulk ingest: write *df* as fresh snappy data files and fast-append
         them (reference: batch_ingestion.rs:20-166 + fast-append in
@@ -259,6 +268,11 @@ class MoonTable:
         itself — no pre-count, so the input (often a generator or join) is
         scanned exactly once. Callers with a planned layout pass explicit
         bins instead (one reduce task per bin).
+
+        *stage_only*: write-audit-publish — the data lands durably but the
+        table's current pointer doesn't move; audit with
+        scan(snapshot_id=<returned id>), then publish_snapshot() or
+        discard_staged().
         """
         run_id = run_id or uuid.uuid4().hex[:12]
         if explicit_bins is not None:
@@ -286,12 +300,14 @@ class MoonTable:
                 "added-files": len(new_files),
                 "added-records": sum(f.record_count for f in new_files),
                 "run_id": run_id,
+                **({"staged": True} if stage_only else {}),
             },
+            stage_only=stage_only,
         )
 
     def _commit_additive(
         self, operation: str, new_files: list[DataFile], summary: dict,
-        max_retries: int = 5,
+        max_retries: int = 5, stage_only: bool = False,
     ) -> int:
         """Commit purely-additive file sets with CAS rebase-retry: appends
         never invalidate a concurrent commit (they only add files), so on a
@@ -314,6 +330,7 @@ class MoonTable:
                     self.delete_files(),
                     summary=summary,
                     expected_parent_snapshot=parent_sid,
+                    stage_only=stage_only,
                 )
             except CommitConflict as e:
                 last = e
@@ -511,6 +528,64 @@ class MoonTable:
     def refs(self) -> dict[str, int]:
         """Current tag name -> snapshot id mapping."""
         return dict(self.meta.refs)
+
+    # ------------------------------------------------ write-audit-publish
+    def publish_snapshot(self, snapshot_id: int) -> int:
+        """Atomically make a previously STAGED snapshot the current one
+        (the publish half of write-audit-publish). Succeeds only if the
+        table hasn't moved since the stage — the staged snapshot's parent
+        must still be current; otherwise raises CommitConflict and the
+        caller re-stages against fresh state (publishing anyway would drop
+        the intervening commits' files from the published list)."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        for _ in range(5):
+            meta = self.catalog.load()
+            version = self.catalog.current_version()
+            snap = meta.snapshot_by_id(snapshot_id)
+            if meta.current_snapshot_id == snapshot_id:
+                return snapshot_id  # already published
+            if snap.parent_id != meta.current_snapshot_id:
+                raise CommitConflict(
+                    f"staged snapshot {snapshot_id} was based on parent "
+                    f"{snap.parent_id} but current is {meta.current_snapshot_id} "
+                    f"— the table moved since the stage; re-stage and re-audit"
+                )
+            meta.current_snapshot_id = snapshot_id
+            try:
+                self.catalog.commit(meta, expected_version=version)
+                return snapshot_id
+            except CommitConflict:
+                continue  # version race only; re-validate and retry
+        raise CommitConflict(f"could not publish snapshot {snapshot_id} after retries")
+
+    def discard_staged(self, snapshot_id: int) -> None:
+        """Drop an UNPUBLISHED staged snapshot (audit failed). Its files
+        become unreachable and the orphan sweep reclaims them. Refuses to
+        touch the current snapshot or any snapshot with descendants."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        for _ in range(5):
+            meta = self.catalog.load()
+            version = self.catalog.current_version()
+            snap = meta.snapshot_by_id(snapshot_id)  # raises if unknown
+            if meta.current_snapshot_id == snapshot_id:
+                raise ValueError(f"snapshot {snapshot_id} is published (current) — not staged")
+            children = [s.snapshot_id for s in meta.snapshots if s.parent_id == snapshot_id]
+            if children:
+                raise ValueError(
+                    f"snapshot {snapshot_id} has descendants {children} — not a staged leaf"
+                )
+            if snapshot_id in meta.refs.values():
+                raise ValueError(f"snapshot {snapshot_id} is tagged — drop the tag first")
+            assert snap is not None
+            meta.snapshots = [s for s in meta.snapshots if s.snapshot_id != snapshot_id]
+            try:
+                self.catalog.commit(meta, expected_version=version)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"could not discard snapshot {snapshot_id} after retries")
 
     def scan(
         self,

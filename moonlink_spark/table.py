@@ -551,6 +551,10 @@ class MoonTable:
                     f"{snap.parent_id} but current is {meta.current_snapshot_id} "
                     f"— the table moved since the stage; re-stage and re-audit"
                 )
+            # the marker means "not yet published" — consumers that walk all
+            # snapshots (the read-at-LSN protocol) skip marked ones; strip
+            # it now that this snapshot is becoming visible history
+            snap.summary.pop("staged", None)
             meta.current_snapshot_id = snapshot_id
             try:
                 self.catalog.commit(meta, expected_version=version)
@@ -706,6 +710,8 @@ class MoonTable:
         lsn > X (mooncake_table.rs:432-445 keeps flush_lsn monotonic)."""
         eff = 0
         for s in self.meta.snapshots:  # sequence order
+            if s.summary.get("staged"):
+                continue  # unpublished write-audit-publish stage: invisible
             eff = int(s.summary.get("flush-lsn", eff))
         return eff
 
@@ -720,6 +726,8 @@ class MoonTable:
         best: Snapshot | None = None
         eff = 0
         for s in self.meta.snapshots:  # sequence order
+            if s.summary.get("staged"):
+                continue  # unpublished stage must never be readable by LSN
             eff = int(s.summary.get("flush-lsn", eff))
             if eff <= lsn:
                 best = s

@@ -41,6 +41,29 @@ def test_stage_audit_publish(spark, tmp_table_root):
     assert {r["_change_op"] for r in delta.select("_change_op").distinct().collect()} == {"I"}
 
 
+def test_staged_snapshot_invisible_to_lsn_reads(spark, tmp_table_root):
+    """The read-at-LSN protocol must never resolve to an unpublished stage:
+    a staged append sits LAST in the snapshot list and would otherwise
+    become the 'latest snapshot with flush-lsn <= X' for every X."""
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.sources.fixtures import generate_changes_df
+
+    t = create_images_table(spark, tmp_table_root, 300, seed=42)
+    merge_into(t, generate_changes_df(spark, 300, 60, seed=42), run_id="m1")
+    lsn = t.current_flush_lsn()
+    published_rows = t.scan().count()
+
+    staged = t.append(_fresh(spark, 50, "wap-"), run_id="s1", stage_only=True)
+    assert t.snapshot_for_lsn(10**12).snapshot_id != staged
+    assert t.scan_at_lsn(10**12).count() == published_rows
+    assert t.current_flush_lsn() == lsn
+
+    t.publish_snapshot(staged)
+    # now visible: published history includes the formerly staged snapshot
+    assert t.snapshot_for_lsn(10**12).snapshot_id == staged
+    assert t.scan_at_lsn(10**12).count() == published_rows + 50
+
+
 def test_publish_refuses_after_table_moved(spark, tmp_table_root):
     t = create_images_table(spark, tmp_table_root, 300, seed=42)
     staged = t.append(_fresh(spark, 50, "wap-"), run_id="s1", stage_only=True)

@@ -204,6 +204,56 @@ def test_connected_components_star_long_chain_and_random(spark):
     assert star == label and star
 
 
+def test_connected_components_property_star_equals_reachability(spark):
+    """Property test (hypothesis): on arbitrary small graphs the star
+    algorithm's labels equal a brute-force reachability oracle computed in
+    plain Python. Shrinking finds minimal counterexamples if the
+    join/groupBy formulation ever diverges from the math."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from moonlink_spark.pipeline.dedup import connected_components
+
+    def brute_labels(edges):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {}
+        for start in adj:
+            if start in labels:
+                continue
+            comp, todo = set(), [start]
+            while todo:
+                n = todo.pop()
+                if n in comp:
+                    continue
+                comp.add(n)
+                todo.extend(adj[n])
+            m = min(comp)
+            for n in comp:
+                labels[n] = m
+        return labels
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                    min_size=1, max_size=30))
+    def check(edges):
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            (r["id"], r["group_id"])
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        want = {
+            (n, lbl)
+            for n, lbl in brute_labels([e for e in edges if e[0] != e[1]]).items()
+        }
+        assert got == want
+
+    check()
+
+
 def test_hamming_near_dup_pairs_phash(spark):
     """Banded Hamming search on a precomputed fingerprint column finds
     exactly the planted 2-bit-flip variants (and a 0-distance exact dup),

@@ -84,6 +84,10 @@ def select_victims(files: list[DataFile], config: CompactionConfig) -> list[Data
             for f in files
             if f.file_size_bytes < config.target_bytes
             or (f.record_count > 0 and f.deleted_count / f.record_count >= config.delete_ratio)
+            # OVERSIZED files qualify too (a huge foreign parquet registered
+            # via add_files): execution SPLITS them into ~target-size pieces
+            # across parallel writers instead of one serial-tail task
+            or f.file_size_bytes > 2 * config.target_bytes
         ]
         min_files = 2 if config.mode == "force_regular" else config.min_files
         max_files = config.max_files
@@ -171,44 +175,70 @@ def _compact_locked(
 
     delete_files = table.delete_files()
     deletes_df = table._read_deletes(delete_files)
+    live_by_path = {norm_path(f.file_path): f.live_bytes for f in table.data_files()}
+
+    # bin-value namespace per group: group gi owns [gi*STRIDE, (gi+1)*STRIDE)
+    # so split sub-bins never collide across groups (bin value = output file
+    # name + lineage record name)
+    _SPLIT_STRIDE = 4096
 
     def _compact_group(gi_group) -> list[DataFile]:
         gi, group = gi_group
-        # resume: a group whose lineage record exists was fully written by a
-        # previous attempt of this run_id — skip the read entirely
-        lp = os.path.join(lineage_dir, f"bin-{gi:05d}.json")
-        if os.path.exists(lp):
-            with open(lp) as f:
-                rec = json.load(f)
-            if os.path.exists(rec["file_path"]):
-                return [
-                    DataFile(
-                        file_path=rec["file_path"],
-                        record_count=int(rec["record_count"]),
-                        file_size_bytes=int(rec["file_size_bytes"]),
-                        stats=json.loads(rec["stats"]),
-                    )
-                ]
+        base = gi * _SPLIT_STRIDE
+        # a group bigger than target (one OVERSIZED victim — bin-packing
+        # never packs past target otherwise) is SPLIT across nb parallel
+        # writers: without this, a 10 GB foreign file becomes one serial
+        # write task — the tail that caps ForceFull's parallelism
+        group_live = sum(live_by_path.get(p, 0) for p in group)
+        nb = max(1, min(_SPLIT_STRIDE - 1, -(-group_live // max(1, config.target_bytes))))
+        if nb == 1:
+            # resume fast-path: an unsplit group with its lineage record was
+            # fully written by a previous attempt — skip the read entirely
+            # (split groups rely on write_datafiles' per-bin skip instead)
+            lp = os.path.join(lineage_dir, f"bin-{base:05d}.json")
+            if os.path.exists(lp):
+                with open(lp) as f:
+                    rec = json.load(f)
+                if os.path.exists(rec["file_path"]):
+                    return [
+                        DataFile(
+                            file_path=rec["file_path"],
+                            record_count=int(rec["record_count"]),
+                            file_size_bytes=int(rec["file_size_bytes"]),
+                            stats=json.loads(rec["stats"]),
+                        )
+                    ]
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"compact-{gi % 4}")
         df = spark.read.schema(schema).parquet(*group)
-        if deletes_df is not None:
+        need_pos = deletes_df is not None or nb > 1
+        if need_pos:
             df = df.select(
                 "*",
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
                 F.col("_metadata.row_index").alias("_pos"),
             )
+        if deletes_df is not None:
             d = deletes_df.filter(F.col("file_path").isin(list(group)))
             df = df.join(
                 d,
                 (df["_fp"] == d["file_path"]) & (df["_pos"] == d["pos"]),
                 "left_anti",
-            ).drop("_fp", "_pos")
-        binned = df.withColumn("_bin", F.lit(gi))
+            )
+        if nb > 1:
+            # deterministic hash split on (file, position): same inputs ->
+            # same sub-bin contents on every retry (lineage-safe)
+            binned = df.withColumn(
+                "_bin", F.lit(base) + F.pmod(F.xxhash64("_fp", "_pos"), F.lit(nb))
+            )
+        else:
+            binned = df.withColumn("_bin", F.lit(base))
+        if need_pos:
+            binned = binned.drop("_fp", "_pos")
         return write_datafiles(
             binned,
             data_dir=table.catalog.data_dir,
             run_id=run_id,
-            num_bins=1,
+            num_bins=nb,
             compression="zstd",
             compression_level=4,
             lineage_dir=lineage_dir,

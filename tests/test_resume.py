@@ -38,9 +38,10 @@ def test_compaction_resume_skips_done_bins(spark, tmp_table_root):
     assert plan2.groups == plan.groups  # deterministic, reloaded not recomputed
     assert _rows(table) == expected
 
-    # every group has a lineage record
+    # every group has at least one lineage record (oversized groups split
+    # into multiple sub-bins, each with its own record)
     recs = [n for n in os.listdir(lineage_dir) if n.startswith("bin-")]
-    assert len(recs) == len(plan.groups)
+    assert len(recs) >= len(plan.groups)
 
     # phase 3: re-running the SAME completed run is a no-op on data files:
     # all bins are skipped via lineage, output paths identical
@@ -96,6 +97,38 @@ def test_merge_lww_adversarial(spark, tmp_table_root):
     oracle = last_writer_wins(allr, "image_id").filter(F.col("op") != "D")
     exp = sorted(tuple(r) for r in oracle.select("image_id", "caption", "phash").collect())
     assert _rows(table) == exp
+
+
+def test_compaction_splits_oversized_file(spark, tmp_table_root):
+    """A single victim far above target (e.g. a huge foreign parquet from
+    add_files) must SPLIT into ~target-size pieces written in parallel —
+    not one serial-tail task — with rows preserved and a deterministic,
+    resumable layout."""
+    import pyspark.sql.functions as F
+
+    from moonlink_spark.sources.fixtures import generate_images_df
+
+    table = create_images_table(spark, tmp_table_root, 200, seed=42)
+    big = generate_images_df(spark, 3000, seed=9).withColumn(
+        "image_id", F.concat(F.lit("big-"), F.col("image_id"))
+    ).withColumn("_bin", F.lit(0))
+    table.append(big, explicit_bins=big, num_bins=1, run_id="bigf")
+    huge = max(table.data_files(), key=lambda f: f.file_size_bytes)
+    expected = _rows(table)
+
+    cfg = CompactionConfig(
+        mode="force_full", target_bytes=max(16 * 1024, huge.file_size_bytes // 4)
+    )
+    sid = compact(table, cfg, run_id="sp1")
+    assert sid is not None
+    assert _rows(table) == expected
+    # the oversized victim became multiple ~target outputs
+    assert len(table.data_files()) >= 3
+    assert all(f.file_path != huge.file_path for f in table.data_files())
+    # resume of the completed run reuses every written piece
+    files_before = sorted(f.file_path for f in table.data_files())
+    compact(table, cfg, run_id="sp1")
+    assert sorted(f.file_path for f in table.data_files()) == files_before
 
 
 def test_merge_writes_partition_lineage(spark, tmp_table_root):

@@ -578,6 +578,39 @@ def q_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_compact_split_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 18-20, the split half: an oversized file (a quarter of the
+    corpus appended as ONE file, like a huge foreign parquet from
+    add_files) is selected as a victim and SPLIT into ~target-size pieces
+    written in parallel — rows preserved exactly."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+
+    t = _make_table(spark, sf_dir, "compact_split")
+    more = _images_df(spark, sf_dir).filter(
+        F.expr("CAST(substr(image_id, 5) AS BIGINT) % 4 = 0")
+    ).withColumn("image_id", F.concat(F.lit("im2-"), F.col("image_id"))).withColumn(
+        "_bin", F.lit(0)
+    )
+    t.append(more, explicit_bins=more, num_bins=1, run_id="big1")
+    huge = max(t.data_files(), key=lambda f: f.file_size_bytes)
+    target = max(64 * 1024, huge.file_size_bytes // 4)
+    pieces = [f.file_path for f in t.data_files() if f.file_size_bytes > 2 * target]
+    compact(
+        t,
+        CompactionConfig(mode="best_effort", min_files=1, target_bytes=target),
+        run_id="c1",
+    )
+    if pieces:  # at tiny sf the 64KB floor can leave nothing oversized
+        # every oversized input is gone, split into files ≤ 2×target
+        gone = set(pieces)
+        assert all(f.file_path not in gone for f in t.data_files())
+        assert all(f.file_size_bytes <= 2 * target for f in t.data_files())
+        assert len(t.data_files()) >= len(pieces) + 1
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish: a staged append is durable but INVISIBLE (scan
     and changelog both ignore it) until publish atomically flips the
@@ -1377,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_full_cluster": q_optimize_full_cluster,
         "cluster_incremental": q_cluster_incremental,
         "wap_publish_scan": q_wap_publish_scan,
+        "compact_split_oversized": q_compact_split_oversized,
         "alter_schema_evolution": q_alter_schema_evolution,
         "drop_readd_column": q_drop_readd_column,
         # training-data pipeline
@@ -1451,6 +1485,12 @@ UNION ALL
 SELECT ('im2-' || image_id) AS image_id, w, h, fmt, caption, phash
 FROM images WHERE CAST(substr(image_id, 5) AS BIGINT) % 4 = 0""",
         "wap_publish_scan": f"""
+WITH images AS ({_images_select('duck')})
+SELECT {_NO_BYTES} FROM images
+UNION ALL
+SELECT ('im2-' || image_id) AS image_id, w, h, fmt, caption, phash
+FROM images WHERE CAST(substr(image_id, 5) AS BIGINT) % 4 = 0""",
+        "compact_split_oversized": f"""
 WITH images AS ({_images_select('duck')})
 SELECT {_NO_BYTES} FROM images
 UNION ALL

@@ -101,8 +101,8 @@ def _layout(t):
     )
 
 
-def test_chaos_invariants_and_replay(spark, tmp_path):
-    seed = 1337
+@pytest.mark.parametrize("seed", [1337, 4242])
+def test_chaos_invariants_and_replay(spark, tmp_path, seed):
     t1, batches = _run_scenario(spark, str(tmp_path / "a"), seed)
     got = sorted(tuple(r) for r in t1.scan(columns=COLS).collect())
     assert got == _oracle_rows(spark, batches)

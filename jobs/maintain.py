@@ -22,6 +22,11 @@ Prints one JSON line of timings + lineage-derived metrics.
 
 --rollback-to SNAPSHOT_ID runs INSTEAD of the steps above: a metadata-only
 commit restoring that retained snapshot's exact row set (history kept).
+
+--warehouse ROOT (instead of --table): one policy-driven maintenance sweep
+over EVERY table under ROOT — incremental clustering where off-curve
+pressure is due, optional expiry + quarantine sweep — the multi-table
+background maintenance loop as a single cron'd spark-submit.
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--table", required=True)
+    ap.add_argument("--table", default=None)
     ap.add_argument("--changes", default=None)
     ap.add_argument("--cluster-by", default=None)
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
@@ -53,7 +58,14 @@ def main() -> None:
     # preserved); runs INSTEAD of merge/optimize — a rollback followed by
     # maintenance in one invocation would blur which state got maintained
     ap.add_argument("--rollback-to", type=int, default=None)
+    # warehouse mode: --warehouse ROOT ignores --table and runs ONE
+    # policy-driven maintenance sweep (incremental clustering where due,
+    # optional expiry+sweep) over EVERY table under ROOT — the backend
+    # multi-table maintenance loop as a single cron'd spark-submit
+    ap.add_argument("--warehouse", default=None)
     args = ap.parse_args()
+    if bool(args.table) == bool(args.warehouse):
+        ap.error("pass exactly one of --table or --warehouse")
 
     from pyspark.sql import SparkSession
 
@@ -65,6 +77,27 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .getOrCreate()
     )
+
+    if args.warehouse:
+        from moonlink_spark.streaming.ingest import MaintenancePolicy
+        from moonlink_spark.warehouse import Warehouse
+
+        by = args.cluster_by.split(",") if args.cluster_by else None
+        policy = (
+            MaintenancePolicy(cluster_by=by, curve=args.curve)
+            if by
+            else MaintenancePolicy(curve=args.curve)
+        )
+        wh = Warehouse(spark, args.warehouse)
+        report = wh.maintain_all(
+            policy,
+            expire_retain=args.expire_retain,
+            sweep_grace_seconds=args.sweep_grace_seconds,
+            run_id=args.run_id,
+        )
+        print(json.dumps({"warehouse": args.warehouse, "tables": report}))
+        spark.stop()
+        return
 
     from moonlink_spark.operators.clustering import cluster
     from moonlink_spark.operators.compaction import CompactionConfig, compact

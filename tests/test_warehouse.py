@@ -1,0 +1,44 @@
+"""Warehouse: the multi-table façade — create/list/load/drop by name and
+one policy-driven maintenance sweep across every table."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.sources.fixtures import IMAGES_SCHEMA, generate_images_df
+from moonlink_spark.streaming.ingest import MaintenancePolicy
+from moonlink_spark.warehouse import Warehouse
+
+
+def test_warehouse_lifecycle_and_maintain_all(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.list_tables() == []
+
+    for name, n in (("alpha", 400), ("beta", 250)):
+        t = wh.create_table(name, IMAGES_SCHEMA, key_columns=["image_id"])
+        t.append(generate_images_df(spark, n, seed=42), run_id="a1")
+    assert wh.list_tables() == ["alpha", "beta"]
+    with pytest.raises(ValueError):
+        wh.create_table("alpha", IMAGES_SCHEMA, key_columns=["image_id"])
+
+    # aggressive policy: both tables are fully off-curve -> both cluster
+    policy = MaintenancePolicy(max_unclustered_files=1, max_unclustered_bytes=1)
+    report = wh.maintain_all(policy, expire_retain=1, sweep_grace_seconds=0,
+                             run_id="sweep1")
+    assert set(report) == {"alpha", "beta"}
+    for name, n in (("alpha", 400), ("beta", 250)):
+        t = wh.load_table(name)
+        assert report[name]["clustered_snapshot"] is not None
+        assert all(f.cluster_by == "zorder" for f in t.data_files())
+        assert t.scan().count() == n
+
+    # second sweep: no pressure anywhere -> every table is a no-op
+    report2 = wh.maintain_all(policy, run_id="sweep2")
+    assert all(r["clustered_snapshot"] is None for r in report2.values())
+
+    wh.drop_table("beta")
+    assert wh.list_tables() == ["alpha"]
+    with pytest.raises(KeyError):
+        wh.drop_table("beta")
+    with pytest.raises(ValueError):
+        wh.create_table("../evil", IMAGES_SCHEMA, key_columns=["image_id"])

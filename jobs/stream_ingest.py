@@ -1,0 +1,102 @@
+"""spark-submit entry point: continuous (or bounded) streaming CDC ingest.
+
+The deployment twin of jobs/maintain.py — the reference's ingestion side
+(moonlink_service consuming CDC/REST into per-table event loops) as one
+Structured Streaming job:
+
+    spark-submit --py-files moonlink_spark.zip jobs/stream_ingest.py \\
+        --table /warehouse/images --source /landing/cdc \\
+        --checkpoint /warehouse/_ckpt/images \\
+        [--available-now] [--max-files-per-trigger 4] \\
+        [--self-maintain --cluster-by phash,w,h]
+
+Source = a parquet drop-directory of (op, lsn, <table columns>) CDC files;
+each micro-batch is one transactional MERGE commit (exactly-once per epoch
+via run_id "stream-{batch_id}"). --available-now drains the backlog and
+exits (bounded backfill); otherwise the query runs until stopped.
+--self-maintain attaches the MaintenancePolicy so incremental clustering
+absorbs off-curve pressure inside the ingest loop. Prints one JSON line on
+exit (AvailableNow) with rows/files/snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--available-now", action="store_true")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--self-maintain", action="store_true")
+    ap.add_argument("--cluster-by", default="phash,w,h")
+    ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("moonlink-stream-ingest")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+    from moonlink_spark.streaming.ingest import (
+        MaintenancePolicy,
+        ingest_cdc_dir,
+        start_cdc_stream,
+    )
+    from moonlink_spark.table import MoonTable
+
+    table = MoonTable.load(spark, args.table)
+    policy = (
+        MaintenancePolicy(cluster_by=args.cluster_by.split(","), curve=args.curve)
+        if args.self_maintain
+        else None
+    )
+
+    if args.available_now:
+        ingest_cdc_dir(
+            table,
+            args.source,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            maintenance=policy,
+        )
+        print(json.dumps({
+            "table": args.table,
+            "rows": table.scan().count(),
+            "files": len(table.data_files()),
+            "snapshot": table.current_snapshot_id(),
+            "snapshots": [s.operation for s in table.snapshots()],
+        }))
+        spark.stop()
+        return
+
+    # continuous mode: build the typed readStream and run until stopped
+    import pyspark.sql.types as T
+
+    src_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+            *table.schema.fields,
+        ]
+    )
+    reader = spark.readStream.schema(src_schema)
+    if args.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+    q = start_cdc_stream(
+        table, reader.parquet(args.source), args.checkpoint, maintenance=policy
+    )
+    q.awaitTermination()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -799,11 +799,13 @@ def q_embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force all-pairs form: the small-N / verification kernel."""
+    """Brute-force all-pairs form: the small-N / verification kernel — the
+    exact twin of the SQL oracle, so n_planes=0 is passed EXPLICITLY (the
+    library default is the bucketed scale path; brute force is opt-in)."""
     from moonlink_spark.pipeline.similarity import embedding_near_dups
 
     _load_views(spark, sf_dir)
-    return embedding_near_dups(spark.table("embeddings"), threshold=0.4)
+    return embedding_near_dups(spark.table("embeddings"), threshold=0.4, n_planes=0)
 
 
 _NEAR_DUP_PLANES = 4  # 8 planes leave zero same-bucket pairs at sf0.01 —

@@ -92,21 +92,15 @@ def main() -> None:
     # the fused op (one read -> zkey -> shuffle -> write pass) bin-packs the
     # 80%-small-files layout, applies the merge's deletion vectors inline,
     # and Z-orders — a single full-table rewrite where round 1 paid two.
-    # It runs FIRST so it sees the true post-merge small-file layout; the
-    # split compact/cluster follow for round-over-round comparability (same
-    # bytes, input is the already-maintained table).
+    # The legacy split compact/cluster stages run LATER on a separately
+    # built pristine table so both measurements see the true post-merge
+    # small-file workload.
     from moonlink_spark.operators.optimize import optimize
 
     changes = spark.read.parquet(changes_dir)
     timed("merge_cdc", lambda: merge_into(table, changes, run_id="bm1"))
     timed("compact_cluster_fused", lambda: optimize(
         table, mode="full", cluster_by=["phash", "w", "h"], run_id="bf1",
-        target_bytes=target_bytes))
-    timed("compact", lambda: compact(
-        table, CompactionConfig(mode="force_full", target_bytes=target_bytes),
-        run_id="bc1", max_concurrent_groups=max(4, cpus // 2)))
-    timed("cluster_zorder", lambda: cluster(
-        table, by=["phash", "w", "h"], curve="zorder", run_id="bz1",
         target_bytes=target_bytes))
     # row count the maintenance passes actually processed (before the fresh
     # append below changes the table) — feeds maint_images_per_s
@@ -138,12 +132,37 @@ def main() -> None:
     fused_sec = timings["compact_cluster_fused"]
     extras["maint_gb_per_s"] = round(live_bytes / max(fused_sec, 1e-9) / 1e9, 4)
     extras["maint_images_per_s"] = round(rows_maint / max(fused_sec, 1e-9), 1)
-    split_sec = timings["compact"] + timings["cluster_zorder"]
-    extras["maint_gb_per_s_split"] = round(2 * live_bytes / max(split_sec, 1e-9) / 1e9, 4)
     extras["table_gb"] = round(live_bytes / 1e9, 4)
     extras["n_images"] = n_images
 
     maint_only = os.environ.get("BENCH_MAINT_ONLY") == "1"
+
+    # ---- legacy SPLIT stages (round-1 continuity) on a PRISTINE table ------
+    # compact and cluster_zorder used to run after the fused op, so they
+    # measured a re-run on an already-maintained table, not the 80%-small-
+    # files workload — phantom round-over-round regressions. A directory
+    # copy can't restore state (manifests and bitmap-DV parquet contents
+    # store absolute data paths), so the split stages run on a SECOND table
+    # built identically (same seeds => same layout/bytes) and merged with
+    # the same staged CDC batch; the rebuild is setup, not a timed stage.
+    if not maint_only:
+        root2 = os.path.join("/tmp", "moonlink_bench_tbl_split")
+        t0 = time.time()
+        shutil.rmtree(root2, ignore_errors=True)
+        table2 = create_images_table(spark, root2, n_images, seed=42)
+        merge_into(table2, changes, run_id="bm2")
+        extras["setup_split_table_sec"] = round(time.time() - t0, 3)
+        timed("compact", lambda: compact(
+            table2, CompactionConfig(mode="force_full", target_bytes=target_bytes),
+            run_id="bc1", max_concurrent_groups=max(4, cpus // 2)))
+        timed("cluster_zorder", lambda: cluster(
+            table2, by=["phash", "w", "h"], curve="zorder", run_id="bz1",
+            target_bytes=target_bytes))
+        split_sec = timings["compact"] + timings["cluster_zorder"]
+        extras["maint_gb_per_s_split"] = round(
+            2 * live_bytes / max(split_sec, 1e-9) / 1e9, 4)
+        shutil.rmtree(root2, ignore_errors=True)
+
     if maint_only:
         total = round(sum(timings.values()), 3)
         print(json.dumps({

@@ -56,6 +56,18 @@ class FileCatalog:
         with open(self._meta_path(v)) as f:
             return TableMetadata.from_json(f.read())
 
+    def load_pinned(self) -> tuple[TableMetadata, int]:
+        """Read the version hint FIRST, then load exactly that version.
+
+        Every CAS retry loop must use this (not load() + current_version()
+        as two independent reads): a commit landing between the two reads
+        would pair NEWER version number with STALE metadata content, so the
+        CAS succeeds while silently dropping the intervening commit — a
+        parent-snapshot pin can't catch it because it is checked against
+        the same stale load."""
+        version = self.current_version()
+        return self.load(version), version
+
     def metadata_versions(self) -> list[int]:
         out = []
         for name in os.listdir(self.metadata_dir):

@@ -31,9 +31,10 @@ def _chunks(seq, n):
 # and every data_files() call re-reads every parent chunk on the driver —
 # O(table) metadata reads per commit even though writes are O(delta)
 # (at 10^12 files that's the planner bottleneck). The cache stores RAW dicts;
-# readers construct fresh dataclasses so callers may mutate them
-# (merge bumps deleted_count, cluster stamps cluster_by) without corrupting
-# the cache. Bounded FIFO: chunk lists are small (≤25k entries each).
+# readers construct fresh dataclasses with nested dicts COPIED (_fresh_entry)
+# so callers may mutate any field — scalars (merge bumps deleted_count,
+# cluster stamps cluster_by) or nested stats — without corrupting the cache.
+# Bounded FIFO: chunk lists are small (≤25k entries each).
 _CHUNK_CACHE: dict[str, list[dict]] = {}
 _CHUNK_CACHE_MAX = 4096
 
@@ -120,15 +121,30 @@ def incremental_reuse(
     return kept, residual
 
 
+def _fresh_entry(e: dict) -> dict:
+    """Copy a cached raw entry so the dataclass never aliases _CHUNK_CACHE:
+    nested dicts (stats, field_ids) are copied two levels deep — without
+    this a caller doing `f.stats["c"]["max"] = ...` in place would silently
+    corrupt the cache for every later reader in the process."""
+    out = dict(e)
+    for k in ("stats", "field_ids"):
+        v = out.get(k)
+        if isinstance(v, dict):
+            out[k] = {
+                kk: (dict(vv) if isinstance(vv, dict) else vv) for kk, vv in v.items()
+            }
+    return out
+
+
 def read_data_manifests(metadata_dir: str, manifest_names: list[str]) -> list[DataFile]:
     files: list[DataFile] = []
     for name in manifest_names:
-        files.extend(DataFile(**e) for e in _read_chunk(metadata_dir, name))
+        files.extend(DataFile(**_fresh_entry(e)) for e in _read_chunk(metadata_dir, name))
     return files
 
 
 def read_delete_manifests(metadata_dir: str, manifest_names: list[str]) -> list[DeleteFile]:
     files: list[DeleteFile] = []
     for name in manifest_names:
-        files.extend(DeleteFile(**e) for e in _read_chunk(metadata_dir, name))
+        files.extend(DeleteFile(**_fresh_entry(e)) for e in _read_chunk(metadata_dir, name))
     return files

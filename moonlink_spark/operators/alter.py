@@ -34,7 +34,7 @@ def alter_table(
     pre-existing files have no value for them)."""
     add_columns = add_columns or []
     drop_columns = drop_columns or []
-    meta = table.catalog.load()
+    meta, version = table.catalog.load_pinned()
     schema = T.StructType.fromJson(json.loads(meta.schema_json))
     names = {f.name for f in schema.fields}
 
@@ -53,7 +53,6 @@ def alter_table(
     new_fields.extend(add_columns)
     new_schema = T.StructType(new_fields)
 
-    version = table.catalog.current_version()
     meta.schema_json = new_schema.json()
     # field-id ledger: drops RETIRE the id (never reused); adds take a fresh
     # one — so a column re-added under a dropped name gets a new id and scans

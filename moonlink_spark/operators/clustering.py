@@ -411,7 +411,9 @@ def _cluster_locked(
             n_surviving_deletes = surviving.count()
             if n_surviving_deletes > 0:
                 new_delete_entries = table.write_position_deletes(
-                    surviving, run_id=run_id + "-dv", num_bins=1
+                    surviving,
+                    run_id=run_id + "-dv",
+                    num_bins=table.dv_rewrite_bins(n_surviving_deletes),
                 )
     stage_t["dv_carryover_sec"] = round(time.time() - t0, 3)
 

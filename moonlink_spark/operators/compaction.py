@@ -277,7 +277,9 @@ def _compact_locked(
         n_surviving_deletes = surviving.count()
         if n_surviving_deletes > 0:
             new_delete_entries = table.write_position_deletes(
-                surviving, run_id=run_id + "-dv", num_bins=1
+                surviving,
+                run_id=run_id + "-dv",
+                num_bins=table.dv_rewrite_bins(n_surviving_deletes),
             )
 
     # survivors = current files that are neither victims nor this run's own

@@ -63,8 +63,7 @@ def expire_snapshots(table: MoonTable, retain_last: int = 3) -> list[int]:
     other once they fall out of the newest-K window — a later
     publish_snapshot of an expired stage fails cleanly (Iceberg expires
     stale WAP snapshots the same way); tag a stage to pin it."""
-    meta = table.catalog.load()
-    version = table.catalog.current_version()
+    meta, version = table.catalog.load_pinned()
     snaps = sorted(meta.snapshots, key=lambda s: s.sequence_number)
     if len(snaps) <= retain_last:
         return []
@@ -105,7 +104,8 @@ def _listing_batches(data_dir: str):
     with os.scandir(data_dir) as it:
         for e in it:
             n = e.name
-            if n.endswith(".inprogress") or n.endswith(".tmp"):
+            # temp writer files are ".inprogress" or ".inprogress.<attempt>"
+            if ".inprogress" in n or n.endswith(".tmp"):
                 continue
             batch.append(norm_path(os.path.join(data_dir, n)))
             if len(batch) >= _LIST_BATCH:

@@ -52,6 +52,38 @@ class MergeResult:
     matched_keys: int
 
 
+class ConcurrentAppendOverlap(Exception):
+    """A lock-free append landed during the merge and its key range may
+    intersect the change batch's. The commit rebase folds appended files in
+    UNPROBED — if one holds a key the batch upserts, committing would leave
+    two live rows for that key (the append's row was never position-deleted
+    and the merge's insert also lands). Retryable: re-run the merge with the
+    same run_id — the fresh probe sees the appended files."""
+
+
+def _overlapping_foreign_appends(
+    fresh_files: list, planned_paths: set[str], out_set: set[str],
+    key: str, klo, khi,
+) -> list:
+    """Data files present now but absent from the snapshot the probe planned
+    against (and not our own outputs), whose per-file [min,max] key stats
+    may intersect the batch's [klo,khi]. Missing stats → conservatively
+    overlapping."""
+    out = []
+    for f in fresh_files:
+        p = norm_path(f.file_path)
+        if p in planned_paths or p in out_set:
+            continue
+        st = (f.stats or {}).get(key) or {}
+        fmin, fmax = st.get("min"), st.get("max")
+        if fmin is None or fmax is None or klo is None:
+            out.append(f)
+            continue
+        if not (fmax < klo or fmin > khi):
+            out.append(f)
+    return out
+
+
 def last_writer_wins(changes: DataFrame, key: str) -> DataFrame:
     """Collapse a change batch to one final row per key: highest lsn wins;
     on an lsn tie the non-delete row wins (moonlink's update decomposition
@@ -203,9 +235,8 @@ def _merge_locked(
 
             new_delete_files = []
             if n_matched > 0:
-                nb = max(1, n_matched // 4_000_000 + 1)
                 new_delete_files = table.write_position_deletes(
-                    matched, run_id=run_id, num_bins=nb
+                    matched, run_id=run_id, num_bins=table.dv_rewrite_bins(n_matched)
                 )
             stage_t["delete_write_sec"] = round(_time.time() - _t0, 3)
             _t0 = _time.time()
@@ -258,6 +289,7 @@ def _merge_locked(
 
     out_set = {norm_path(f.file_path) for f in new_data_files}
     out_del = {norm_path(f.file_path) for f in new_delete_files}
+    planned_paths = {norm_path(f.file_path) for f in all_files}
     last_conflict: Exception | None = None
     for _ in range(5):
         # read the parent BEFORE the file lists and pin the commit to it:
@@ -268,6 +300,20 @@ def _merge_locked(
         data_files = [
             f for f in table.data_files() if norm_path(f.file_path) not in out_set
         ]
+        # rebase safety: folding a concurrent append in unprobed is only
+        # sound when its key range can't intersect the batch's — otherwise
+        # fail retryable instead of committing a duplicate-key state
+        if n_final > 0:
+            foreign = _overlapping_foreign_appends(
+                data_files, planned_paths, out_set, key, head["klo"], head["khi"]
+            )
+            if foreign:
+                raise ConcurrentAppendOverlap(
+                    f"{len(foreign)} file(s) appended during merge run "
+                    f"{run_id} overlap the batch key range "
+                    f"[{head['klo']!r}, {head['khi']!r}] — re-run the merge "
+                    f"(same run_id) to probe them"
+                )
         prior_deletes = [
             d for d in table.delete_files() if norm_path(d.file_path) not in out_del
         ]

@@ -113,18 +113,22 @@ def lsh_buckets(
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 0,
+    n_planes: int = 8,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Semantic near-duplicate pairs: (a, b, cos) with cosine ≥ threshold.
 
-    n_planes=0 → brute-force all-pairs (the small-N / verification kernel).
-    n_planes>0 → pairs restricted to one shared LSH bucket — the scale path:
-    the self-join shuffles on the bucket id instead of exploding N², at the
-    cost of LSH recall (near-identical vectors share every hyperplane side,
-    so true duplicates are retained with probability → 1 as cos → 1)."""
+    The DEFAULT (n_planes=8) is the bucketed scale path: pairs are
+    restricted to one shared LSH bucket, so the self-join shuffles on the
+    bucket id instead of exploding N² — at the cost of LSH recall
+    (near-identical vectors share every hyperplane side, so true duplicates
+    are retained with probability → 1 as cos → 1).
+
+    n_planes=0 is the brute-force all-pairs kernel — the small-N
+    verification twin / SQL oracle. It is scale-unsafe (O(N²) join) and
+    must be OPTED INTO explicitly; never run it on a full corpus."""
     if n_planes > 0:
         base = lsh_buckets(df, n_planes=n_planes, dims=dims, id_col=id_col, vec_col=vec_col)
         join_cond = lambda l, r: (F.col("l.bucket") == F.col("r.bucket")) & (  # noqa: E731

@@ -132,7 +132,12 @@ def write_datafiles(
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from pyspark import TaskContext
 
+        # attempt-scoped temp suffix: a speculative/zombie attempt of the
+        # same task must not share a temp file with the live attempt (only
+        # the final atomic rename may race — last complete file wins)
+        tmp_suffix = f".inprogress.{TaskContext.get().taskAttemptId()}"
         writers: dict[int, pq.ParquetWriter] = {}
         paths: dict[int, str] = {}
         counts: dict[int, int] = {}
@@ -176,7 +181,7 @@ def write_datafiles(
                 final = os.path.join(data_dir, f"{file_prefix}{run_id}-b{b:05d}.parquet")
                 paths[b] = final
                 writers[b] = pq.ParquetWriter(
-                    final + ".inprogress",
+                    final + tmp_suffix,
                     arrow_schema,
                     compression=codec_by_col,
                     compression_level=level_by_col,
@@ -207,7 +212,7 @@ def write_datafiles(
         for b, w in writers.items():
             w.close()
             final = paths[b]
-            os.rename(final + ".inprogress", final)
+            os.rename(final + tmp_suffix, final)
             size = os.path.getsize(final)
             clean = {
                 c: {
@@ -321,7 +326,15 @@ def write_datafiles_rolling(
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # attempt-scoped temp suffix: with speculative execution (or a
+        # zombie attempt) two attempts of the same task write the same FINAL
+        # name concurrently — each must stream into its own temp file, and
+        # only the atomic rename races (last rename wins with a complete
+        # file; a shared ".inprogress" would interleave two writers into one
+        # corrupt parquet)
+        tmp_suffix = f".inprogress.{ctx.taskAttemptId()}"
         seq = 0
         writer = None
         path = ""
@@ -350,7 +363,7 @@ def write_datafiles_rolling(
             if writer is None:
                 return
             writer.close()
-            os.rename(path + ".inprogress", path)
+            os.rename(path + tmp_suffix, path)
             done.append(
                 {
                     "bin": pid,
@@ -387,7 +400,7 @@ def write_datafiles_rolling(
                     )
                     seq += 1
                     writer = pq.ParquetWriter(
-                        path + ".inprogress",
+                        path + tmp_suffix,
                         arrow_schema,
                         compression=codec_by_col,
                         compression_level=level_by_col,

@@ -47,6 +47,15 @@ _DELETE_ROW_EST_BYTES = 96
 # expectation — committing against an empty table)
 _UNSET = object()
 
+# rows per writer bin when (re)writing position-delete bitmaps — shared by
+# merge's delete write and compaction/clustering's surviving-DV carry-over
+# so no DV write path ever collapses to a single serial reduce task
+DV_REWRITE_ROWS_PER_BIN = 4_000_000
+
+# maintenance-lock heartbeat TTL: an acquirer may break a lock whose
+# heartbeat (mtime, refreshed every ttl/4 by the holder) is older than this
+MAINTENANCE_LOCK_TTL_SECONDS = 900.0
+
 
 class MaintenanceInProgress(Exception):
     """Another maintenance job holds this table's advisory lock."""
@@ -168,8 +177,7 @@ class MoonTable:
         from moonlink_spark.catalog.catalog import CommitConflict
         from moonlink_spark.catalog.manifests import incremental_reuse
 
-        meta = self.catalog.load()
-        version = self.catalog.current_version()
+        meta, version = self.catalog.load_pinned()
         if expected_parent_snapshot is not _UNSET and (
             meta.current_snapshot_id != expected_parent_snapshot
         ):
@@ -177,27 +185,30 @@ class MoonTable:
                 f"planned against snapshot {expected_parent_snapshot} but "
                 f"current is {meta.current_snapshot_id} under {self.root}"
             )
-        # stamp FRESHLY-WRITTEN files (not in the parent snapshot) with the
-        # current field-id mapping. Files re-read from manifests carry their
-        # write-time ids; legacy files recorded with field_ids=None must NOT
-        # be stamped with today's mapping — that would assert today's ids
-        # over columns physically written under an unknown older schema.
-        # They stay None (= read as current schema, the pre-field-id
-        # behavior) until a rewrite re-creates them.
+        # stamp FRESHLY-WRITTEN files (not known to ANY retained snapshot)
+        # with the current field-id mapping. Files re-read from manifests
+        # carry their write-time ids; legacy files recorded with
+        # field_ids=None must NOT be stamped with today's mapping — that
+        # would assert today's ids over columns physically written under an
+        # unknown older schema. Membership is checked against every retained
+        # snapshot, not just the parent: rollback_to republishes files from
+        # an OLD snapshot that are absent from the current parent, and a
+        # parent-only check would stamp those legacy files with today's ids
+        # (the stale-value resurrection this ledger exists to prevent).
+        # Manifest chunk names are deduped across snapshots and chunk reads
+        # hit the in-process cache, so this stays O(unique chunks).
         if meta.field_ids:
             unstamped = [f for f in data_files if f.field_ids is None]
             if unstamped:
-                parent = meta.current_snapshot()
-                parent_paths: set[str] = set()
-                if parent is not None:
-                    parent_paths = {
-                        pf.file_path
-                        for pf in read_data_manifests(
-                            self.catalog.metadata_dir, parent.manifests
-                        )
-                    }
+                chunk_names = sorted({n for s in meta.snapshots for n in s.manifests})
+                known_paths = {
+                    pf.file_path
+                    for pf in read_data_manifests(
+                        self.catalog.metadata_dir, chunk_names
+                    )
+                }
                 for f in unstamped:
-                    if f.file_path not in parent_paths:
+                    if f.file_path not in known_paths:
                         f.field_ids = dict(meta.field_ids)
         seq = meta.last_sequence_number + 1
         parent = meta.current_snapshot()
@@ -487,8 +498,7 @@ class MoonTable:
         from moonlink_spark.catalog.catalog import CommitConflict
 
         for _ in range(5):
-            meta = self.catalog.load()
-            version = self.catalog.current_version()
+            meta, version = self.catalog.load_pinned()
             sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
             if sid is None:
                 raise ValueError("cannot tag an empty table (no snapshot)")
@@ -513,8 +523,7 @@ class MoonTable:
         from moonlink_spark.catalog.catalog import CommitConflict
 
         for _ in range(5):
-            meta = self.catalog.load()
-            version = self.catalog.current_version()
+            meta, version = self.catalog.load_pinned()
             if name not in meta.refs:
                 raise KeyError(f"tag {name!r} not found")
             del meta.refs[name]
@@ -540,8 +549,7 @@ class MoonTable:
         from moonlink_spark.catalog.catalog import CommitConflict
 
         for _ in range(5):
-            meta = self.catalog.load()
-            version = self.catalog.current_version()
+            meta, version = self.catalog.load_pinned()
             snap = meta.snapshot_by_id(snapshot_id)
             if meta.current_snapshot_id == snapshot_id:
                 return snapshot_id  # already published
@@ -570,8 +578,7 @@ class MoonTable:
         from moonlink_spark.catalog.catalog import CommitConflict
 
         for _ in range(5):
-            meta = self.catalog.load()
-            version = self.catalog.current_version()
+            meta, version = self.catalog.load_pinned()
             snap = meta.snapshot_by_id(snapshot_id)  # raises if unknown
             if meta.current_snapshot_id == snapshot_id:
                 raise ValueError(f"snapshot {snapshot_id} is published (current) — not staged")
@@ -634,47 +641,67 @@ class MoonTable:
         return df
 
     # ----------------------------------------------------- maintenance lock
-    def maintenance_lock(self, job: str, run_id: str, wait_seconds: float = 0.0):
+    def maintenance_lock(
+        self,
+        job: str,
+        run_id: str,
+        wait_seconds: float = 0.0,
+        ttl_seconds: float = MAINTENANCE_LOCK_TTL_SECONDS,
+    ):
         """Advisory mutual exclusion for table-mutating maintenance: at most
         one merge/compaction/clustering in flight per table
         (table_handler.rs:526-609 serializes maintenance through the event
-        loop; here an O_EXCL lock file carries {job, run_id} so a second
-        scheduler sees who holds it).
+        loop; here an O_EXCL lock file carries {job, run_id, pid} so a
+        second scheduler sees who holds it).
 
         Re-entrant for the SAME run_id: a resumed run (crash, retry) takes
         OWNERSHIP of the existing lock and releases it on exit — otherwise a
         resumed run that completes would leave the lock file behind forever.
         With *wait_seconds* > 0 a blocked acquirer polls until the holder
-        releases (bounded), instead of raising immediately. Stale locks from
-        a dead holder that never resumes are the operator's to clear (the
-        lock file names the holder). Returns a context manager."""
+        releases (bounded), instead of raising immediately.
+
+        LIVENESS: while held, a daemon thread refreshes the lock file's
+        mtime every ttl/4 (the heartbeat). An acquirer may BREAK a lock
+        whose heartbeat is older than *ttl_seconds* — a holder that died
+        without releasing (kill -9, node loss) no longer blocks maintenance
+        forever (moonlink's single in-process event loop can't deadlock
+        this way, table_handler.rs:202-218; a multi-process advisory lock
+        needs the TTL). The break is an atomic rename to a unique stale
+        name, so exactly one of several waiting acquirers wins it; the
+        losers just retry the normal acquire. Returns a context manager."""
         import contextlib
         import json as _json
+        import threading
         import time as _time
+        import uuid as _uuid
 
         lock_path = os.path.join(self.catalog.metadata_dir, "maintenance.lock")
 
         @contextlib.contextmanager
         def _lock():
             owner = False
+            stop_beat = threading.Event()
             deadline = _time.monotonic() + wait_seconds
             while True:
                 try:
                     fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     owner = True
                     with os.fdopen(fd, "w") as f:
-                        _json.dump({"job": job, "run_id": run_id}, f)
+                        _json.dump(
+                            {"job": job, "run_id": run_id, "pid": os.getpid()}, f
+                        )
                         f.flush()
                     break
                 except FileExistsError:
                     pass
                 # the holder may release (unlink) or still be writing its
-                # {job, run_id} payload between our O_EXCL failure and this
-                # read — both are transient: retry the acquire
+                # payload between our O_EXCL failure and this read — both
+                # are transient: retry the acquire
                 try:
                     with open(lock_path) as f:
                         holder = _json.load(f)
-                except (FileNotFoundError, _json.JSONDecodeError):
+                    beat_age = _time.time() - os.stat(lock_path).st_mtime
+                except (FileNotFoundError, _json.JSONDecodeError, OSError):
                     _time.sleep(0.01)
                     continue
                 if holder.get("run_id") == run_id:
@@ -682,16 +709,41 @@ class MoonTable:
                     # this process now owns the release
                     owner = True
                     break
+                if beat_age > ttl_seconds:
+                    # heartbeat expired: the holder is presumed dead. Break
+                    # via atomic rename — only one breaker can win it; the
+                    # winner owns (and removes) the renamed stale file.
+                    stale = lock_path + f".stale.{_uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock_path, stale)
+                        os.unlink(stale)
+                    except FileNotFoundError:
+                        pass  # released or broken by someone else — retry
+                    continue
                 if _time.monotonic() < deadline:
                     _time.sleep(0.05)
                     continue
                 raise MaintenanceInProgress(
-                    f"{holder.get('job')} run {holder.get('run_id')} holds "
-                    f"the maintenance lock on {self.root}"
+                    f"{holder.get('job')} run {holder.get('run_id')} "
+                    f"(pid {holder.get('pid')}, heartbeat {beat_age:.1f}s ago) "
+                    f"holds the maintenance lock on {self.root}"
                 ) from None
+
+            def _heartbeat() -> None:
+                interval = max(ttl_seconds / 4.0, 0.01)
+                while not stop_beat.wait(interval):
+                    try:
+                        os.utime(lock_path)
+                    except FileNotFoundError:
+                        return  # lock was broken from under us; stop beating
+
+            beat = threading.Thread(target=_heartbeat, daemon=True)
+            beat.start()
             try:
                 yield
             finally:
+                stop_beat.set()
+                beat.join(timeout=1.0)
                 if owner:
                     try:
                         os.unlink(lock_path)
@@ -800,6 +852,15 @@ class MoonTable:
             for d in read_delete_manifests(self.catalog.metadata_dir, s.delete_manifests):
                 out.add(norm_path(d.file_path))
         return out
+
+    def dv_rewrite_bins(self, n_delete_rows: int) -> int:
+        """Writer-task count for a position-delete (re)write: one bin per
+        DV_REWRITE_ROWS_PER_BIN surviving rows. At 100 TB a compaction/
+        clustering carry-over can hold millions of DV rows spanning
+        thousands of target files — a single reduce task (num_bins=1) is a
+        serial tail; binning by hash(file_path) keeps each target file's
+        bitmap whole while spreading the write."""
+        return max(1, n_delete_rows // DV_REWRITE_ROWS_PER_BIN + 1)
 
     def write_position_deletes(
         self, deletes_df: DataFrame, run_id: str, num_bins: int = 1,

@@ -220,3 +220,142 @@ def test_three_interleaved_merges_converge(spark, tmp_path):
     assert not errs, errs
     assert [s.operation for s in table.snapshots()].count("merge") == 3
     assert _rows(table) == oracle
+
+
+def test_lock_ttl_breaks_dead_holder(spark, tmp_path):
+    """A lock whose heartbeat (mtime) is older than the TTL belongs to a
+    presumed-dead holder (kill -9, node loss): an acquirer with a DIFFERENT
+    run_id breaks it and proceeds — maintenance is never wedged forever."""
+    table = create_images_table(spark, str(tmp_path / "t"), 200, seed=42)
+    lock_path = os.path.join(table.catalog.metadata_dir, "maintenance.lock")
+    with open(lock_path, "w") as f:  # dead holder: never heartbeats again
+        json.dump({"job": "compact", "run_id": "dead", "pid": 999999}, f)
+    stale = os.stat(lock_path).st_mtime - 3600
+    os.utime(lock_path, (stale, stale))
+
+    with table.maintenance_lock("merge", "alive", ttl_seconds=5.0):
+        with open(lock_path) as f:
+            assert json.load(f)["run_id"] == "alive"
+    assert not os.path.exists(lock_path)
+
+
+def test_lock_heartbeat_protects_live_holder(spark, tmp_path):
+    """A LIVE holder whose job outlasts the TTL is protected by the
+    heartbeat thread (mtime refreshed every ttl/4): a second acquirer keeps
+    seeing a fresh heartbeat and must wait/raise, never break."""
+    import time
+
+    from moonlink_spark.table import MaintenanceInProgress
+
+    table = create_images_table(spark, str(tmp_path / "t"), 200, seed=42)
+    with table.maintenance_lock("compact", "holder", ttl_seconds=0.4):
+        time.sleep(1.0)  # several TTLs elapse; heartbeat keeps it alive
+        with pytest.raises(MaintenanceInProgress):
+            with table.maintenance_lock("merge", "intruder", ttl_seconds=0.4):
+                pass
+    # released: a new acquirer proceeds
+    with table.maintenance_lock("merge", "after", ttl_seconds=0.4):
+        pass
+
+
+def test_merge_concurrent_append_overlap_raises(spark, tmp_path):
+    """A lock-free append landing in the merge's plan->commit window with
+    keys inside the batch's range must FAIL the merge retryably (folding it
+    in unprobed could leave two live rows for one key); the retry probes the
+    appended file and converges to a duplicate-free state."""
+    from moonlink_spark.operators.merge import ConcurrentAppendOverlap
+
+    table = create_images_table(spark, str(tmp_path / "t"), 300, seed=42)
+    changes = generate_changes_df(spark, 300, 60, seed=42)
+    changes.cache()
+    # fresh unique keys INSIDE the batch's key range (ids embed the seed, so
+    # a "-s" suffix on seed-42 ids sorts between existing seed-42 ids)
+    sneak = generate_images_df(spark, 40, seed=42).withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("-s"))
+    )
+
+    orig = table.commit_snapshot
+    fired = {"v": False}
+
+    def hooked(*a, **k):
+        if not fired["v"] and a and a[0] == "merge":
+            fired["v"] = True
+            table.commit_snapshot = orig  # the sneak append commits normally
+            table.append(sneak, run_id="sneak")
+            table.commit_snapshot = hooked
+        return orig(*a, **k)
+
+    table.commit_snapshot = hooked
+    try:
+        with pytest.raises(ConcurrentAppendOverlap):
+            merge_into(table, changes, run_id="race")
+    finally:
+        table.commit_snapshot = orig
+    assert fired["v"]
+
+    # retry with the SAME run_id: fresh probe sees the appended file
+    merge_into(table, changes, run_id="race")
+    changes.unpersist()
+    dupes = (
+        table.scan(columns=["image_id"])
+        .groupBy("image_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_merge_nonoverlapping_append_folds(spark, tmp_path):
+    """An append OUTSIDE the batch's key range is provably safe to fold in:
+    the merge commits first try and the appended rows survive."""
+    table = create_images_table(spark, str(tmp_path / "t"), 300, seed=42)
+    changes = generate_changes_df(spark, 300, 60, seed=42)
+    changes.cache()
+    sneak = generate_images_df(spark, 40, seed=42).withColumn(
+        "image_id", F.concat(F.lit("zzz-"), F.col("image_id"))
+    )
+
+    orig = table.commit_snapshot
+    fired = {"v": False}
+
+    def hooked(*a, **k):
+        if not fired["v"] and a and a[0] == "merge":
+            fired["v"] = True
+            table.commit_snapshot = orig
+            table.append(sneak, run_id="sneak2")
+            table.commit_snapshot = hooked
+        return orig(*a, **k)
+
+    table.commit_snapshot = hooked
+    try:
+        merge_into(table, changes, run_id="fold")
+    finally:
+        table.commit_snapshot = orig
+    assert fired["v"]
+    changes.unpersist()
+    assert (
+        table.scan(columns=["image_id"])
+        .filter(F.col("image_id").startswith("zzz-"))
+        .count()
+        == 40
+    )
+
+
+def test_dv_rewrite_parallelism(spark, tmp_path, monkeypatch):
+    """The position-delete write must scale its writer-bin count with the
+    delete-row volume (a single reduce task is a serial tail at 100 TB).
+    With the rows-per-bin constant shrunk, a merge's DV write lands in >1
+    delete file (one per hash bin of target file_path)."""
+    import moonlink_spark.table as tbl_mod
+
+    assert tbl_mod.MoonTable.dv_rewrite_bins(None, 0) == 1
+    assert tbl_mod.MoonTable.dv_rewrite_bins(None, 3_999_999) == 1
+    assert tbl_mod.MoonTable.dv_rewrite_bins(None, 9_000_000) == 3
+
+    monkeypatch.setattr(tbl_mod, "DV_REWRITE_ROWS_PER_BIN", 10)
+    table = create_images_table(spark, str(tmp_path / "t"), 800, seed=42)
+    changes = generate_changes_df(spark, 800, 300, seed=42)  # same key universe
+    res = merge_into(table, changes, run_id="m1")
+    assert res.matched_keys > 30  # enough matches to span multiple bins
+    assert len(table.delete_files()) > 1

@@ -74,3 +74,27 @@ def test_manifest_gc_keeps_shared_chunks(spark, tmp_table_root):
     # every chunk the current snapshot references survives; nothing else does
     assert on_disk == live
     assert t.scan().count() == 500
+
+
+def test_chunk_cache_immune_to_caller_mutation(spark, tmp_table_root):
+    """Manifest readers must hand out dataclasses whose NESTED dicts are
+    copies, not aliases of the in-process chunk cache: an in-place
+    f.stats[...] mutation by one caller must never leak into what a later
+    reader sees."""
+    from moonlink_spark.catalog.manifests import read_data_manifests
+
+    t = _mk(spark, tmp_table_root)
+    _append(spark, t, 0, 100, files=2)
+    names = t.meta.current_snapshot().manifests
+    first = read_data_manifests(t.catalog.metadata_dir, names)
+    target = first[0]
+    assert target.stats, "fixture should carry column stats"
+    col = next(iter(target.stats))
+    before = target.stats[col]["max"]
+    target.stats[col]["max"] = "CORRUPTED"
+    target.stats["__new_col__"] = {"min": 0, "max": 0, "null_count": 0}
+
+    again = read_data_manifests(t.catalog.metadata_dir, names)
+    fresh = next(f for f in again if f.file_path == target.file_path)
+    assert fresh.stats[col]["max"] == before
+    assert "__new_col__" not in fresh.stats

@@ -241,6 +241,26 @@ def q_merge_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_iceberg_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-native interop: merge (so position deletes exist), export the
+    snapshot as GENUINE Iceberg v2 metadata (JSON + handwritten Avro
+    manifests validated by the Java reference decoder + spec-schema
+    position-delete parquet), then scan through the spec protocol ALONE —
+    version-hint → metadata.json → manifest-list Avro → manifest Avro →
+    parquet minus position deletes. Matching the LWW oracle proves the
+    export is a self-describing Iceberg table, not a re-read of our own
+    catalog. (iceberg_table_syncer.rs:723-838, deletion_vector.rs:16-30,
+    file_catalog.rs:590-673.)"""
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "iceberg_exp")
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    dest = _fresh_root("iceberg_exp_out")
+    export_iceberg(t, dest)
+    return read_iceberg_scan(spark, dest, columns=_NO_BYTES.split(", "))
+
+
 def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows 18-20: size-tiered selection + bin-packing compaction over an
     80%-small-files layout carrying position deletes from a prior MERGE."""
@@ -1395,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_files_scan": q_add_files_scan,
         "image_resize": q_image_resize,
         "merge_cdc_lww": q_merge_cdc_lww,
+        "iceberg_export_scan": q_iceberg_export_scan,
         "compact_small_files": q_compact_small_files,
         "cluster_zorder": q_cluster_zorder,
         "cluster_hilbert": q_cluster_hilbert,
@@ -1459,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         "bulk_append_scan": base_images,
         "add_files_scan": base_images,
         "merge_cdc_lww": lww,
+        "iceberg_export_scan": lww,
         "compact_small_files": lww,
         "streaming_cdc_merge": lww,
         "streaming_cdc_self_maintain": lww,

@@ -1,0 +1,197 @@
+"""Apache Iceberg v2 format schemas + converters (public spec).
+
+Everything here is from the public Iceberg table spec: the manifest-list
+and manifest Avro schemas with their reserved field-ids, the single-value
+binary serialization for column bounds, the position-delete file schema
+(reserved ids 2147483546/2147483545), and Spark-type → Iceberg-type
+conversion for the table-schema JSON and the name-mapping property.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pyspark.sql.types as T
+
+# reserved field ids for position-delete files (Iceberg spec "Position
+# Delete Files"); the reference persists the same shape as puffin DV blobs
+# (table/iceberg/deletion_vector.rs:16-30)
+POS_DELETE_FILE_PATH_ID = 2147483546
+POS_DELETE_POS_ID = 2147483545
+
+
+# --------------------------------------------------------------- avro schemas
+def _kv_bytes_map(key_id: int, value_id: int) -> dict:
+    """Iceberg's int-keyed bytes map: Avro maps require string keys, so the
+    spec encodes these as array<record{key,value}> with logicalType map."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": f"k{key_id}_v{value_id}",
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": "bytes", "field-id": value_id},
+            ],
+        },
+    }
+
+
+FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+    ],
+}
+
+# manifest-list entry (spec "Manifest Lists"; field names as the Iceberg
+# Java v2 writer emits them, ids per the spec table)
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": FIELD_SUMMARY, "element-id": 508}],
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+def manifest_entry_schema() -> dict:
+    """manifest_entry for an UNPARTITIONED table (empty r102 partition
+    struct), v2 fields + the bounds maps used for file pruning."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": []},
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": ["null", _kv_bytes_map(126, 127)],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _kv_bytes_map(129, 130)],
+                "default": None,
+                "field-id": 128,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+# ----------------------------------------------------- type conversion
+def iceberg_type(dt: T.DataType):
+    """Spark type → Iceberg schema-JSON type (nested types supported)."""
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    raise ValueError(f"unsupported Spark type for Iceberg export: {dt}")
+
+
+def iceberg_schema_fields(
+    schema: T.StructType, field_ids: dict[str, int], key_columns: list[str]
+) -> list[dict]:
+    out = []
+    for f in schema.fields:
+        out.append(
+            {
+                "id": int(field_ids[f.name]),
+                "name": f.name,
+                "required": f.name in key_columns or not f.nullable,
+                "type": iceberg_type(f.dataType),
+            }
+        )
+    return out
+
+
+def name_mapping(field_ids: dict[str, int], names: list[str]) -> list[dict]:
+    """schema.name-mapping.default: lets Iceberg readers resolve columns in
+    parquet files written WITHOUT field-ids (the spec's sanctioned path for
+    imported/add_files data — exactly our in-place data files)."""
+    return [{"field-id": int(field_ids[n]), "names": [n]} for n in names]
+
+
+# ------------------------------------------- single-value serialization
+def bound_bytes(dt: T.DataType, v) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D) for the
+    types our stats carry; None for types we don't serialize bounds for."""
+    if v is None:
+        return None
+    if isinstance(dt, T.StringType):
+        return str(v).encode("utf-8")
+    if isinstance(dt, T.LongType):
+        return struct.pack("<q", int(v))
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return struct.pack("<i", int(v))
+    if isinstance(dt, T.DoubleType):
+        return struct.pack("<d", float(v))
+    if isinstance(dt, T.FloatType):
+        return struct.pack("<f", float(v))
+    if isinstance(dt, T.BooleanType):
+        return b"\x01" if v else b"\x00"
+    return None

@@ -666,6 +666,53 @@ def q_drop_readd_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=["image_id", "w", "h", "caption", "phash", "fmt"])
 
 
+def q_nested_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED field-id projection (rest_ingest/schema_util.rs:75-180,
+    iceberg_table_manager.rs:88-89): a struct column `meta(w,h)` has its
+    nested field `meta.h` dropped then re-added — batch-1 files must read
+    meta.h as NULL (fresh dotted-path id) while meta.w keeps its physical
+    values; a post-readd batch carries real meta.h again. Output flattens
+    the struct so the oracle hash covers the nested values."""
+    import pyspark.sql.types as T
+
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.operators.alter import alter_table
+    from moonlink_spark.table import MoonTable
+
+    img = _images_df(spark, sf_dir)
+    root = _fresh_root("nested_evo")
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("meta", T.StructType([
+            T.StructField("w", T.IntegerType(), True),
+            T.StructField("h", T.IntegerType(), True),
+        ]), True),
+        T.StructField("caption", T.StringType(), True),
+    ])
+    t = MoonTable.create(spark, root, schema, key_columns=["image_id"])
+    t.append(
+        img.select("image_id", F.struct("w", "h").alias("meta"), "caption"),
+        run_id="b1",
+    )
+    alter_table(t, drop_columns=["meta.h"])
+    alter_table(t, add_columns=[T.StructField("meta.h", T.IntegerType(), True)])
+    t.append(
+        img.select(
+            F.concat(F.col("image_id"), F.lit("-b2")).alias("image_id"),
+            F.struct("w", "h").alias("meta"),
+            "caption",
+        ),
+        run_id="b2",
+    )
+    return t.scan().select(
+        "image_id",
+        F.col("meta.w").alias("meta_w"),
+        F.col("meta.h").alias("meta_h"),
+        "caption",
+    )
+
+
 def q_alter_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row 32 (AlterTableRequest, mooncake_table.rs:616-651): metadata-only
     add/drop column; pre-existing files read the added column as NULL and
@@ -1436,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_split_oversized": q_compact_split_oversized,
         "alter_schema_evolution": q_alter_schema_evolution,
         "drop_readd_column": q_drop_readd_column,
+        "nested_schema_evolution": q_nested_schema_evolution,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1542,6 +1590,11 @@ SELECT image_id, w, h, caption, phash, CAST(NULL AS INT) AS score FROM images"""
         "drop_readd_column": f"""
 WITH images AS ({_images_select(d)})
 SELECT image_id, w, h, caption, phash, CAST(NULL AS {_s(d)}) AS fmt FROM images""",
+        "nested_schema_evolution": f"""
+WITH images AS ({_images_select(d)})
+SELECT image_id, w AS meta_w, CAST(NULL AS INT) AS meta_h, caption FROM images
+UNION ALL
+SELECT image_id || '-b2' AS image_id, w AS meta_w, h AS meta_h, caption FROM images""",
         # hilbert_key_kernel, image_decode_stats: no SQL analog -> rows-only
     }
     # cluster queries rewrite the BASE table (no merge): oracle = base rows

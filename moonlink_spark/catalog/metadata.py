@@ -149,6 +149,37 @@ class TableMetadata:
         return meta
 
 
+def schema_paths(schema) -> list[tuple[str, Any]]:
+    """All field paths of a Spark StructType in DFS order, as (dotted-path,
+    dataType) pairs — nested STRUCT fields get their own path entries
+    (`meta` and `meta.w`), which is what lets the field-id ledger track
+    add/drop at any depth (the reference round-trips PARQUET:field_id for
+    nested fields too, rest_ingest/schema_util.rs:75-180,
+    iceberg_table_manager.rs:88-89). List/map element types are treated as
+    part of their column's type (no per-element evolution)."""
+    import pyspark.sql.types as T
+
+    out: list[tuple[str, Any]] = []
+
+    def _walk(st, prefix: str) -> None:
+        for f in st.fields:
+            p = prefix + f.name
+            out.append((p, f.dataType))
+            if isinstance(f.dataType, T.StructType):
+                _walk(f.dataType, p + ".")
+
+    _walk(schema, "")
+    return out
+
+
+def assign_field_ids(schema) -> tuple[dict[str, int], int]:
+    """Initial ledger: ids 1..n over every path in DFS order; returns
+    (ledger, next_field_id)."""
+    paths = schema_paths(schema)
+    ids = {p: i + 1 for i, (p, _) in enumerate(paths)}
+    return ids, len(paths) + 1
+
+
 def norm_path(p: str) -> str:
     """Normalize a file path as stored in metadata and as reported by Spark's
     _metadata.file_path (which prefixes file:)."""

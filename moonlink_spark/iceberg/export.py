@@ -276,10 +276,11 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
     os.makedirs(data_dir, exist_ok=True)
 
     # ---- field ids + schema JSON -----------------------------------------
-    names = [f.name for f in table.schema.fields]
+    from moonlink_spark.catalog.metadata import assign_field_ids
+
     field_ids = dict(meta.field_ids or {})
     if not field_ids:
-        field_ids = {n: i + 1 for i, n in enumerate(names)}
+        field_ids, _ = assign_field_ids(table.schema)
     ice_fields = iceberg_schema_fields(table.schema, field_ids, table.key_columns)
     ice_schema = {"type": "struct", "schema-id": 0, "fields": ice_fields}
     schema_json = json.dumps(ice_schema, separators=(",", ":"))
@@ -337,7 +338,7 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
             "schema.name-mapping.default": json.dumps(
-                name_mapping(field_ids, names), separators=(",", ":")
+                name_mapping(table.schema, field_ids), separators=(",", ":")
             ),
             "write.format.default": "parquet",
         },

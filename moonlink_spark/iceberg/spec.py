@@ -154,26 +154,51 @@ def iceberg_type(dt: T.DataType):
 
 
 def iceberg_schema_fields(
-    schema: T.StructType, field_ids: dict[str, int], key_columns: list[str]
+    schema: T.StructType,
+    field_ids: dict[str, int],
+    key_columns: list[str],
+    prefix: str = "",
 ) -> list[dict]:
+    """Iceberg schema-JSON fields with ids from the DOTTED-PATH ledger;
+    struct columns recurse so nested fields carry their own ids."""
     out = []
     for f in schema.fields:
+        path = prefix + f.name
+        if isinstance(f.dataType, T.StructType):
+            typ: object = {
+                "type": "struct",
+                "fields": iceberg_schema_fields(
+                    f.dataType, field_ids, [], path + "."
+                ),
+            }
+        else:
+            typ = iceberg_type(f.dataType)
         out.append(
             {
-                "id": int(field_ids[f.name]),
+                "id": int(field_ids[path]),
                 "name": f.name,
-                "required": f.name in key_columns or not f.nullable,
-                "type": iceberg_type(f.dataType),
+                "required": path in key_columns or (prefix == "" and not f.nullable),
+                "type": typ,
             }
         )
     return out
 
 
-def name_mapping(field_ids: dict[str, int], names: list[str]) -> list[dict]:
+def name_mapping(
+    schema: T.StructType, field_ids: dict[str, int], prefix: str = ""
+) -> list[dict]:
     """schema.name-mapping.default: lets Iceberg readers resolve columns in
     parquet files written WITHOUT field-ids (the spec's sanctioned path for
-    imported/add_files data — exactly our in-place data files)."""
-    return [{"field-id": int(field_ids[n]), "names": [n]} for n in names]
+    imported/add_files data — exactly our in-place data files). Nested
+    struct fields map recursively via their dotted-path ids."""
+    out = []
+    for f in schema.fields:
+        path = prefix + f.name
+        entry: dict = {"field-id": int(field_ids[path]), "names": [f.name]}
+        if isinstance(f.dataType, T.StructType):
+            entry["fields"] = name_mapping(f.dataType, field_ids, path + ".")
+        out.append(entry)
+    return out
 
 
 # ------------------------------------------- single-value serialization

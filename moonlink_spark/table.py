@@ -34,7 +34,9 @@ from moonlink_spark.catalog.metadata import (
     DeleteFile,
     Snapshot,
     TableMetadata,
+    assign_field_ids,
     norm_path,
+    schema_paths,
 )
 from moonlink_spark.plans.physical import hash_bin, write_datafiles
 
@@ -55,6 +57,56 @@ DV_REWRITE_ROWS_PER_BIN = 4_000_000
 # maintenance-lock heartbeat TTL: an acquirer may break a lock whose
 # heartbeat (mtime, refreshed every ttl/4 by the holder) is older than this
 MAINTENANCE_LOCK_TTL_SECONDS = 900.0
+
+
+def _path_ancestors(path: str) -> list[str]:
+    parts = path.split(".")
+    return [".".join(parts[:i]) for i in range(1, len(parts))]
+
+
+def _prune_struct(st: "T.StructType", provided: set[str], prefix: str) -> "T.StructType":
+    """Read-schema for one file group: only PROVIDED paths survive; a
+    struct whose provided children all vanished is dropped wholesale (an
+    empty struct can't be read from parquet — it is rebuilt as NULL)."""
+    fields = []
+    for f in st.fields:
+        p = prefix + f.name
+        if p not in provided:
+            continue
+        dt = f.dataType
+        if isinstance(dt, T.StructType):
+            dt = _prune_struct(dt, provided, p + ".")
+            if not dt.fields:
+                continue
+        fields.append(T.StructField(f.name, dt, True))
+    return T.StructType(fields)
+
+
+def _struct_paths(st: "T.StructType", prefix: str = "") -> set[str]:
+    out: set[str] = set()
+    for f in st.fields:
+        p = prefix + f.name
+        out.add(p)
+        if isinstance(f.dataType, T.StructType):
+            out |= _struct_paths(f.dataType, p + ".")
+    return out
+
+
+def _project_by_path(path: str, dtype, readable: set[str]):
+    """Column expression reconstructing *path* at its full current type
+    from a pruned reader: unreadable paths become typed NULLs; structs are
+    rebuilt field-by-field (holes filled with NULL) while preserving
+    row-level struct nullity (a NULL struct stays NULL, not a struct of
+    NULLs)."""
+    if path not in readable:
+        return F.lit(None).cast(dtype)
+    if isinstance(dtype, T.StructType):
+        kids = [
+            _project_by_path(f"{path}.{f.name}", f.dataType, readable).alias(f.name)
+            for f in dtype.fields
+        ]
+        return F.when(F.col(path).isNotNull(), F.struct(*kids))
+    return F.col(path)
 
 
 class MaintenanceInProgress(Exception):
@@ -80,14 +132,15 @@ class MoonTable:
         t.catalog.ensure_dirs()
         if t.catalog.exists():
             raise FileExistsError(f"table already exists at {root}")
+        ids, next_id = assign_field_ids(schema)
         meta = TableMetadata(
             table_uuid=uuid.uuid4().hex,
             location=t.root,
             schema_json=schema.json(),
             key_columns=list(key_columns),
             properties=properties or {},
-            field_ids={f.name: i + 1 for i, f in enumerate(schema.fields)},
-            next_field_id=len(schema.fields) + 1,
+            field_ids=ids,
+            next_field_id=next_id,
         )
         t.catalog.commit(meta, expected_version=0)
         return t
@@ -384,14 +437,19 @@ class MoonTable:
 
     # ------------------------------------------------------------- scan
     def _read_data(self, files: list[DataFile], with_position: bool) -> DataFrame:
-        """Read *files* projected through the CURRENT schema by FIELD ID:
-        a column is read from a file only if the file's write-time id for
-        that name equals the table's current id (Iceberg field-id semantics,
-        iceberg_table_manager.rs:88-89) — otherwise it reads as NULL. This
-        makes drop-then-re-add safe: the re-added column has a fresh id, so
-        pre-drop files can't resurrect stale physical values. Files group by
-        their provided-column set (bounded by the number of schema versions),
-        one parquet reader per group, unioned."""
+        """Read *files* projected through the CURRENT schema by FIELD ID —
+        at ANY depth: a field path (top-level or nested struct field,
+        dotted like "meta.w") is read from a file only if the file's
+        write-time id for that path equals the table's current id (Iceberg
+        field-id semantics, iceberg_table_manager.rs:88-89; the reference
+        round-trips nested PARQUET:field_id, rest_ingest/schema_util.rs:
+        75-180) — otherwise it reads as NULL. This makes drop-then-re-add
+        safe at any depth: the re-added (possibly nested) field has a fresh
+        id, so pre-drop files can't resurrect stale physical values. Files
+        group by their provided-path set (bounded by the number of schema
+        versions), one parquet reader per group with a PRUNED read schema
+        (unprovided nested fields aren't even decoded), structs rebuilt
+        with NULL holes JVM-side, unioned."""
         schema = self.schema
         if not files:
             df = self.spark.createDataFrame([], schema)
@@ -402,32 +460,35 @@ class MoonTable:
             return df
 
         cur_ids = self.meta.field_ids
-        all_names = tuple(f.name for f in schema.fields)
+        path_list = [p for p, _ in schema_paths(schema)]
         groups: dict[tuple, list[DataFile]] = {}
         for f in files:
             if not cur_ids or f.field_ids is None:
-                provided = all_names  # legacy: assume current schema
+                provided = tuple(path_list)  # legacy: assume current schema
             else:
+                raw = {p for p in path_list if f.field_ids.get(p) == cur_ids.get(p)}
+                # a nested path is usable only if every ancestor matched too
                 provided = tuple(
-                    n for n in all_names if f.field_ids.get(n) == cur_ids.get(n)
+                    p for p in path_list
+                    if p in raw and all(a in raw for a in _path_ancestors(p))
                 )
             groups.setdefault(provided, []).append(f)
 
-        order = list(all_names) + (["_fp", "_pos"] if with_position else [])
         parts: list[DataFrame] = []
         for provided, fs in groups.items():
-            sub = T.StructType([fld for fld in schema.fields if fld.name in provided])
+            sub = _prune_struct(schema, set(provided), "")
             reader = self.spark.read.schema(sub).parquet(*[f.file_path for f in fs])
+            readable = _struct_paths(sub)
+            cols = [
+                _project_by_path(fld.name, fld.dataType, readable).alias(fld.name)
+                for fld in schema.fields
+            ]
             if with_position:
-                reader = reader.select(
-                    "*",
+                cols += [
                     F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
                     F.col("_metadata.row_index").alias("_pos"),
-                )
-            for fld in schema.fields:
-                if fld.name not in provided:
-                    reader = reader.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-            parts.append(reader.select(*order))
+                ]
+            parts.append(reader.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)

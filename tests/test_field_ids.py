@@ -57,3 +57,126 @@ def test_added_column_reads_null_on_old_files(spark, tmp_table_root):
     got = table.scan(columns=["image_id", "score"])
     assert got.count() == 150
     assert got.filter(F.col("score").isNotNull()).count() == 0
+
+
+NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("w", T.IntegerType(), True),
+                    T.StructField("h", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("caption", T.StringType(), True),
+    ]
+)
+
+
+def _mk_nested(spark, root, n=100):
+    from moonlink_spark.table import MoonTable
+
+    t = MoonTable.create(spark, root, NESTED_SCHEMA, key_columns=["id"])
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        F.struct(
+            (F.col("id") % 100).cast("int").alias("w"),
+            (F.col("id") % 50 + 1).cast("int").alias("h"),
+        ).alias("meta"),
+        F.concat(F.lit("c"), F.col("id")).alias("caption"),
+    )
+    t.append(df, run_id="base")
+    return t
+
+
+def test_nested_ledger_paths(spark, tmp_table_root):
+    """create() assigns ids to nested struct fields under dotted paths."""
+    t = _mk_nested(spark, tmp_table_root)
+    ids = t.meta.field_ids
+    assert set(ids) == {"id", "meta", "meta.w", "meta.h", "caption"}
+    assert len(set(ids.values())) == 5
+
+
+def test_nested_drop_then_readd_reads_null(spark, tmp_table_root):
+    """Drop meta.h, re-add it: pre-drop files must read meta.h as NULL (the
+    nested stale-value resurrection case) while meta.w still reads its
+    physical values; post-readd appends carry real meta.h again."""
+    t = _mk_nested(spark, tmp_table_root, n=100)
+    old_h_id = t.meta.field_ids["meta.h"]
+
+    alter_table(t, drop_columns=["meta.h"])
+    assert [f.name for f in t.schema["meta"].dataType.fields] == ["w"]
+    got = t.scan()
+    assert got.count() == 100
+    assert got.filter(F.col("meta.w").isNull()).count() == 0
+
+    alter_table(t, add_columns=[T.StructField("meta.h", T.IntegerType(), True)])
+    assert t.meta.field_ids["meta.h"] != old_h_id
+    got = t.scan()
+    assert got.filter(F.col("meta.h").isNotNull()).count() == 0
+    assert got.filter(F.col("meta.w").isNull()).count() == 0
+
+    fresh = spark.range(100, 130).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        F.struct(
+            (F.col("id") % 100).cast("int").alias("w"),
+            F.lit(7).cast("int").alias("h"),
+        ).alias("meta"),
+        F.concat(F.lit("c"), F.col("id")).alias("caption"),
+    )
+    t.append(fresh, run_id="fresh")
+    got = t.scan()
+    assert got.count() == 130
+    assert got.filter(F.col("meta.h") == 7).count() == 30
+    assert got.filter(F.col("meta.h").isNull()).count() == 100
+
+
+def test_nested_add_field_and_struct_column(spark, tmp_table_root):
+    """Adding a nested field and a whole new struct column: old files read
+    NULL for both; struct-level nullity is preserved (no struct-of-nulls
+    where the struct itself was NULL)."""
+    t = _mk_nested(spark, tmp_table_root, n=60)
+    alter_table(t, add_columns=[T.StructField("meta.score", T.DoubleType(), True)])
+    alter_table(
+        t,
+        add_columns=[
+            T.StructField(
+                "extra",
+                T.StructType([T.StructField("tag", T.StringType(), True)]),
+                True,
+            )
+        ],
+    )
+    ids = t.meta.field_ids
+    assert "meta.score" in ids and "extra" in ids and "extra.tag" in ids
+    got = t.scan()
+    assert got.count() == 60
+    assert got.filter(F.col("meta.score").isNotNull()).count() == 0
+    assert got.filter(F.col("extra").isNotNull()).count() == 0  # struct stays NULL
+    assert got.filter(F.col("meta").isNull()).count() == 0
+
+
+def test_nested_drop_whole_struct_retires_descendants(spark, tmp_table_root):
+    t = _mk_nested(spark, tmp_table_root, n=40)
+    alter_table(t, drop_columns=["meta"])
+    ids = t.meta.field_ids
+    assert "meta" not in ids and "meta.w" not in ids and "meta.h" not in ids
+    assert "meta" not in [f.name for f in t.schema.fields]
+    # re-added struct gets entirely fresh ids and reads NULL from old files
+    alter_table(
+        t,
+        add_columns=[
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("w", T.IntegerType(), True)]),
+                True,
+            )
+        ],
+    )
+    got = t.scan()
+    assert got.count() == 40
+    assert got.filter(F.col("meta").isNotNull()).count() == 0

@@ -666,6 +666,27 @@ def q_drop_readd_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=["image_id", "w", "h", "caption", "phash", "fmt"])
 
 
+def q_branch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch refs (the mutable half of the Iceberg ref model): write a
+    second batch TO A BRANCH — a staged snapshot parented at the branch
+    head, main's pointer untouched — then scan(ref=branch) reads base +
+    branch rows while scan() still reads only the base (proven by
+    returning the branch scan; the oracle is base ∪ suffixed batch, which
+    a main-scan leak would fail)."""
+    from pyspark.sql import functions as F
+
+    t = _make_table(spark, sf_dir, "branch_scan")
+    t.create_branch("dev")
+    img = _images_df(spark, sf_dir)
+    t.append(
+        img.withColumn("image_id", F.concat(F.col("image_id"), F.lit("-br"))),
+        run_id="b1",
+        branch="dev",
+    )
+    assert t.scan().count() * 2 == t.scan(ref="dev").count()
+    return t.scan(ref="dev", columns=_NO_BYTES.split(", "))
+
+
 def q_nested_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED field-id projection (rest_ingest/schema_util.rs:75-180,
     iceberg_table_manager.rs:88-89): a struct column `meta(w,h)` has its
@@ -1484,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alter_schema_evolution": q_alter_schema_evolution,
         "drop_readd_column": q_drop_readd_column,
         "nested_schema_evolution": q_nested_schema_evolution,
+        "branch_scan": q_branch_scan,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1595,6 +1617,11 @@ WITH images AS ({_images_select(d)})
 SELECT image_id, w AS meta_w, CAST(NULL AS INT) AS meta_h, caption FROM images
 UNION ALL
 SELECT image_id || '-b2' AS image_id, w AS meta_w, h AS meta_h, caption FROM images""",
+        "branch_scan": f"""
+WITH images AS ({_images_select(d)})
+SELECT {_NO_BYTES} FROM images
+UNION ALL
+SELECT image_id || '-br' AS image_id, w, h, fmt, caption, phash FROM images""",
         # hilbert_key_kernel, image_decode_stats: no SQL analog -> rows-only
     }
     # cluster queries rewrite the BASE table (no merge): oracle = base rows

@@ -124,6 +124,11 @@ class TableMetadata:
     # dropped, so a tag is a durable "release"/audit pin a reader can scan
     # by name long after retain-last-K would have expired it.
     refs: dict[str, int] = field(default_factory=dict)
+    # named MUTABLE refs (Iceberg branch semantics): name -> head snapshot
+    # id. Branch commits are staged snapshots parented at the branch head
+    # (main's pointer never moves); advance is fast-forward-only; heads and
+    # their ancestry are exempt from expiry like tags.
+    branches: dict[str, int] = field(default_factory=dict)
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         for s in self.snapshots:

@@ -74,6 +74,16 @@ def expire_snapshots(table: MoonTable, retain_last: int = 3) -> list[int]:
     # tagged snapshots are pinned (Iceberg tag semantics): a tag is an
     # explicit promise that scan(ref=...) keeps working until drop_tag
     keep_ids.update(meta.refs.values())
+    # branch heads are pinned WITH their ancestry back to a retained
+    # snapshot: fast_forward_main must still find an unbroken parent chain,
+    # and branch scans read the head's manifests
+    by_id = {s.snapshot_id: s for s in snaps}
+    for head in meta.branches.values():
+        cur = head
+        while cur is not None and cur not in keep_ids:
+            keep_ids.add(cur)
+            s = by_id.get(cur)
+            cur = s.parent_id if s is not None else None
     expired = [s.snapshot_id for s in snaps if s.snapshot_id not in keep_ids]
     meta.snapshots = [s for s in snaps if s.snapshot_id in keep_ids]
     table.catalog.commit(meta, expected_version=version)

@@ -202,6 +202,7 @@ class MoonTable:
         force_rewrite: bool = False,
         expected_parent_snapshot: int | None | object = _UNSET,
         stage_only: bool = False,
+        parent_override: int | None = None,
     ) -> int:
         """Commit the *complete* new file state as a snapshot via catalog CAS.
         Returns the new snapshot id.
@@ -264,7 +265,14 @@ class MoonTable:
                     if f.file_path not in known_paths:
                         f.field_ids = dict(meta.field_ids)
         seq = meta.last_sequence_number + 1
-        parent = meta.current_snapshot()
+        # *parent_override*: branch commits parent at the BRANCH head, not
+        # the table's current snapshot (used with stage_only=True — main's
+        # pointer never moves); manifest chunk reuse follows the same parent
+        parent = (
+            meta.snapshot_by_id(parent_override)
+            if parent_override is not None
+            else meta.current_snapshot()
+        )
         max_entries = int(meta.properties.get("manifest.max-entries", MANIFEST_MAX_ENTRIES))
         if force_rewrite or parent is None:
             manifests = write_data_manifests(
@@ -298,7 +306,7 @@ class MoonTable:
             )
         snap = Snapshot(
             snapshot_id=seq,
-            parent_id=meta.current_snapshot_id,
+            parent_id=parent.snapshot_id if parent is not None else None,
             sequence_number=seq,
             operation=operation,
             manifests=manifests,
@@ -322,6 +330,7 @@ class MoonTable:
         explicit_bins: DataFrame | None = None,
         num_bins: int | None = None,
         stage_only: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Bulk ingest: write *df* as fresh snappy data files and fast-append
         them (reference: batch_ingestion.rs:20-166 + fast-append in
@@ -337,8 +346,15 @@ class MoonTable:
         table's current pointer doesn't move; audit with
         scan(snapshot_id=<returned id>), then publish_snapshot() or
         discard_staged().
+
+        *branch*: write to a named branch instead of main — the commit is a
+        staged snapshot parented at the BRANCH head (main's pointer never
+        moves), then the branch fast-forwards to it. Read it back with
+        scan(ref=branch); publish the whole branch with fast_forward_main.
         """
         run_id = run_id or uuid.uuid4().hex[:12]
+        if branch is not None and stage_only:
+            raise ValueError("branch writes are implicitly staged; drop stage_only")
         if explicit_bins is not None:
             new_files = write_datafiles(
                 explicit_bins,
@@ -357,6 +373,26 @@ class MoonTable:
                 rows_per_file=rows_per_file,
                 compression="snappy",
             )
+        if branch is not None:
+            head = self.meta.branches.get(branch)
+            if head is None:
+                raise KeyError(f"branch {branch!r} not found")
+            sid = self.commit_snapshot(
+                "append",
+                self.data_files(snapshot_id=head) + new_files,
+                self.delete_files(snapshot_id=head),
+                summary={
+                    "added-files": len(new_files),
+                    "added-records": sum(f.record_count for f in new_files),
+                    "run_id": run_id,
+                    "branch": branch,
+                    "staged": True,  # not on main history until fast-forward
+                },
+                stage_only=True,
+                parent_override=head,
+            )
+            self.advance_branch(branch, sid)
+            return sid
         return self._commit_additive(
             "append",
             new_files,
@@ -599,6 +635,125 @@ class MoonTable:
         """Current tag name -> snapshot id mapping."""
         return dict(self.meta.refs)
 
+    # ------------------------------------------------------------- branches
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create a MUTABLE named ref at *snapshot_id* (default: current) —
+        Iceberg branch semantics. Writers advance it fast-forward-only via
+        append(branch=...) / advance_branch; main's pointer never moves.
+        Branch heads and their ancestry are exempt from expiry."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        for _ in range(5):
+            meta, version = self.catalog.load_pinned()
+            sid = meta.current_snapshot_id if snapshot_id is None else snapshot_id
+            if sid is None:
+                raise ValueError("cannot branch an empty table (no snapshot)")
+            meta.snapshot_by_id(sid)  # raises KeyError if expired
+            if name in meta.branches:
+                raise ValueError(f"branch {name!r} already exists")
+            if name in meta.refs:
+                raise ValueError(f"{name!r} is a tag; tags and branches share a namespace")
+            meta.branches[name] = sid
+            try:
+                self.catalog.commit(meta, expected_version=version)
+                return sid
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"could not create branch {name!r} after retries")
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch; its unreachable snapshots become expirable."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        for _ in range(5):
+            meta, version = self.catalog.load_pinned()
+            if name not in meta.branches:
+                raise KeyError(f"branch {name!r} not found")
+            del meta.branches[name]
+            try:
+                self.catalog.commit(meta, expected_version=version)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"could not drop branch {name!r} after retries")
+
+    def branches(self) -> dict[str, int]:
+        """Current branch name -> head snapshot id mapping."""
+        return dict(self.meta.branches)
+
+    def _is_ancestor(self, meta: TableMetadata, ancestor: int, descendant: int) -> bool:
+        cur: int | None = descendant
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        while cur is not None:
+            if cur == ancestor:
+                return True
+            s = by_id.get(cur)
+            cur = s.parent_id if s is not None else None
+        return False
+
+    def advance_branch(self, name: str, snapshot_id: int) -> int:
+        """Move a branch head FORWARD to *snapshot_id*. Fast-forward only:
+        the new head must be a descendant of the current head — a racing
+        writer that advanced the branch first makes this fail with
+        CommitConflict (retry by re-staging against the new head), never a
+        silent overwrite of its commits."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        for _ in range(5):
+            meta, version = self.catalog.load_pinned()
+            if name not in meta.branches:
+                raise KeyError(f"branch {name!r} not found")
+            head = meta.branches[name]
+            meta.snapshot_by_id(snapshot_id)  # must exist
+            if snapshot_id == head:
+                return head
+            if not self._is_ancestor(meta, head, snapshot_id):
+                raise CommitConflict(
+                    f"branch {name!r} head {head} is not an ancestor of "
+                    f"{snapshot_id} — not a fast-forward (concurrent writer?)"
+                )
+            meta.branches[name] = snapshot_id
+            try:
+                self.catalog.commit(meta, expected_version=version)
+                return snapshot_id
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"could not advance branch {name!r} after retries")
+
+    def fast_forward_main(self, branch: str) -> int:
+        """Publish a branch: fast-forward the table's current pointer to the
+        branch head (current must be an ancestor of the head — otherwise
+        main diverged and a merge, not a publish, is required). The branch
+        snapshots become visible history: their 'staged' markers are
+        stripped so read-at-LSN and the changelog walk them."""
+        from moonlink_spark.catalog.catalog import CommitConflict
+
+        for _ in range(5):
+            meta, version = self.catalog.load_pinned()
+            if branch not in meta.branches:
+                raise KeyError(f"branch {branch!r} not found")
+            head = meta.branches[branch]
+            cur = meta.current_snapshot_id
+            if cur == head:
+                return head
+            if cur is not None and not self._is_ancestor(meta, cur, head):
+                raise CommitConflict(
+                    f"current snapshot {cur} is not an ancestor of branch "
+                    f"{branch!r} head {head} — main diverged; cannot fast-forward"
+                )
+            by_id = {s.snapshot_id: s for s in meta.snapshots}
+            walk: int | None = head
+            while walk is not None and walk != cur:
+                by_id[walk].summary.pop("staged", None)
+                walk = by_id[walk].parent_id
+            meta.current_snapshot_id = head
+            try:
+                self.catalog.commit(meta, expected_version=version)
+                return head
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"could not fast-forward to branch {branch!r} after retries")
+
     # ------------------------------------------------ write-audit-publish
     def publish_snapshot(self, snapshot_id: int) -> int:
         """Atomically make a previously STAGED snapshot the current one
@@ -680,10 +835,13 @@ class MoonTable:
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass either snapshot_id or ref, not both")
-            refs = self.meta.refs
-            if ref not in refs:
-                raise KeyError(f"tag {ref!r} not found")
-            snapshot_id = refs[ref]
+            meta = self.meta
+            if ref in meta.refs:
+                snapshot_id = meta.refs[ref]  # tag
+            elif ref in meta.branches:
+                snapshot_id = meta.branches[ref]  # branch head
+            else:
+                raise KeyError(f"ref {ref!r} not found (no such tag or branch)")
         files = self.data_files(snapshot_id) if files is None else files
         dfiles = self.delete_files(snapshot_id)
         need_pos = with_position or bool(dfiles)

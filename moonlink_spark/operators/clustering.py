@@ -469,6 +469,7 @@ def _cluster_locked(
     # parallel part), reconstruct/commit = driver-side metadata.
     with open(os.path.join(lineage_dir, "metrics.json"), "w") as fh:
         json.dump({
+            "op": "cluster",
             "files_in": plan.victims,
             "files_out": [f.file_path for f in new_files],
             "bytes_in": sum(f.file_size_bytes for f in in_files),

@@ -164,7 +164,12 @@ def _compact_locked(
     run_id: str,
     max_concurrent_groups: int,
 ) -> int | None:
+    import time as _time
+
+    stage_t: dict[str, float] = {}
+    _t0 = _time.time()
     plan = plan_compaction(table, config, run_id)
+    stage_t["plan_sec"] = round(_time.time() - _t0, 3)
     if plan is None:
         return None
 
@@ -246,10 +251,12 @@ def _compact_locked(
 
     new_files: list[DataFile] = []
     group_outputs: list[list[DataFile]] = []
+    _t0 = _time.time()
     with ThreadPoolExecutor(max_workers=max_concurrent_groups) as pool:
         for files in pool.map(_compact_group, enumerate(plan.groups)):
             group_outputs.append(files)
             new_files.extend(files)
+    stage_t["rewrite_sec"] = round(_time.time() - _t0, 3)
 
     # per-partition lineage metrics (north rule: files-in/files-out, bytes,
     # row counts per partition so a killed run resumes + is auditable)
@@ -270,6 +277,7 @@ def _compact_locked(
         json.dump(metrics, f)
 
     # rewrite the surviving delete set: victims' deletes die with the victims
+    _t0 = _time.time()
     new_delete_entries: list = []
     n_surviving_deletes = 0
     if delete_files:
@@ -290,6 +298,11 @@ def _compact_locked(
     # folds their files in.
     from moonlink_spark.catalog.catalog import CommitConflict
 
+    stage_t["dv_carryover_sec"] = round(_time.time() - _t0, 3)
+    # cross-run stage observability (observability/iceberg_persistence.rs:
+    # 61-81 analog): per-run stage timings next to the per-bin metrics, fed
+    # into the per-table rollup by moonlink_spark.observability
+    _t0 = _time.time()
     out_set = {norm_path(f.file_path) for f in new_files}
     last_conflict: Exception | None = None
     for _ in range(5):
@@ -303,7 +316,7 @@ def _compact_locked(
             and norm_path(f.file_path) not in out_set
         ]
         try:
-            return table.commit_snapshot(
+            sid = table.commit_snapshot(
                 "compact",
                 survivors + new_files,
                 new_delete_entries,
@@ -317,6 +330,10 @@ def _compact_locked(
                     "groups": len(plan.groups),
                 },
             )
+            stage_t["commit_sec"] = round(_time.time() - _t0, 3)
+            with open(os.path.join(lineage_dir, "stage_metrics.json"), "w") as f:
+                json.dump({"op": "compact", "stage_seconds": stage_t}, f)
+            return sid
         except CommitConflict as e:
             last_conflict = e
     raise last_conflict  # type: ignore[misc]

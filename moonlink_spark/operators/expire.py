@@ -125,6 +125,38 @@ def _listing_batches(data_dir: str):
         yield batch
 
 
+# listing shards for the distributed path: one executor task per shard
+_LIST_SHARDS = 64
+
+
+def _distributed_listing_df(spark, data_dir: str) -> DataFrame:
+    """List the data directory IN EXECUTOR TASKS, sharded by filename hash:
+    above the driver cap, no filename ever streams through the driver — the
+    listing materializes directly as executor partitions feeding the
+    set-difference join. On a POSIX dir each shard re-reads the (page-
+    cached) dirent stream and keeps its hash slice; on an object store this
+    is where a native per-prefix LIST call goes (s3://…/data/<prefix>*),
+    which is exactly how Iceberg's remove_orphan_files fans out listing."""
+    shards = _LIST_SHARDS
+
+    def _scan(shard_ids):
+        import os as _os
+        import zlib as _zlib
+
+        for shard in shard_ids:
+            with _os.scandir(data_dir) as it:
+                for e in it:
+                    n = e.name
+                    if ".inprogress" in n or n.endswith(".tmp"):
+                        continue
+                    if _zlib.crc32(n.encode()) % shards != shard:
+                        continue
+                    yield (_os.path.abspath(_os.path.join(data_dir, n)),)
+
+    rdd = spark.sparkContext.parallelize(range(shards), shards).mapPartitions(_scan)
+    return spark.createDataFrame(rdd, "path string")
+
+
 def sweep_orphans(
     table: MoonTable,
     quarantine: bool = True,
@@ -150,24 +182,23 @@ def sweep_orphans(
     qdir = os.path.join(table.catalog.metadata_dir, "quarantine")
     acted: list[str] = []
 
-    # stream the listing: keep at most _DRIVER_SWEEP_MAX paths in driver
-    # memory; past that, every batch (including the retained prefix) becomes
-    # an incremental DataFrame and the Python lists are dropped — the driver
-    # never holds more than one batch + the small-table prefix
+    # stream the listing on the driver only up to _DRIVER_SWEEP_MAX names;
+    # past the cap the partial stream is abandoned and the WHOLE listing
+    # re-runs sharded across executor tasks (_distributed_listing_df) — at
+    # object-store scale no filename ever passes through the driver
     small_paths: list[str] | None = []
-    fs_df: DataFrame | None = None
     n_listed = 0
     for batch in _listing_batches(table.catalog.data_dir):
         n_listed += len(batch)
-        if small_paths is not None and n_listed <= _DRIVER_SWEEP_MAX:
-            small_paths.extend(batch)
-            continue
-        if small_paths:  # overflow: push the retained prefix cluster-side
-            pdf = spark.createDataFrame([(p,) for p in small_paths], "path string")
-            fs_df = pdf if fs_df is None else fs_df.union(pdf)
-        small_paths = None
-        bdf = spark.createDataFrame([(p,) for p in batch], "path string")
-        fs_df = bdf if fs_df is None else fs_df.union(bdf)
+        if n_listed > _DRIVER_SWEEP_MAX:
+            small_paths = None
+            break
+        small_paths.extend(batch)
+    fs_df: DataFrame | None = (
+        _distributed_listing_df(spark, table.catalog.data_dir)
+        if small_paths is None
+        else None
+    )
 
     def _act_one(p: str) -> bool:
         import os as _os

@@ -352,6 +352,7 @@ def _merge_locked(
         import json as _json
 
         _json.dump({
+            "op": "merge",
             "matched_keys": n_matched,
             "inserted_rows": n_inserts,
             "probed_files": len(probe_files),

@@ -78,6 +78,8 @@ class Warehouse:
         from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
         from moonlink_spark.streaming.ingest import MaintenancePolicy, maybe_maintain
 
+        from moonlink_spark.observability import rollup_stage_metrics
+
         policy = policy or MaintenancePolicy()
         run_id = run_id or uuid.uuid4().hex[:12]
         report: dict[str, dict] = {}
@@ -94,5 +96,9 @@ class Warehouse:
                         t, quarantine=True, older_than_seconds=sweep_grace_seconds
                     )
                 )
+            # cross-run stage observability: per-op p50/p95 over every
+            # retained lineage record, persisted under metadata/metrics/
+            # (observability/iceberg_persistence.rs:61-81 analog)
+            entry["stage_metrics"] = rollup_stage_metrics(t)
             report[name] = entry
         return report

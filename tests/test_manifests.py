@@ -98,3 +98,27 @@ def test_chunk_cache_immune_to_caller_mutation(spark, tmp_table_root):
     fresh = next(f for f in again if f.file_path == target.file_path)
     assert fresh.stats[col]["max"] == before
     assert "__new_col__" not in fresh.stats
+
+
+def test_distributed_sweep_lists_in_executors(spark, tmp_table_root, monkeypatch):
+    """Above the driver listing cap the sweep must switch to the sharded
+    executor-side listing and still remove exactly the orphans."""
+    import moonlink_spark.operators.expire as ex
+
+    t = _mk(spark, tmp_table_root)
+    _append(spark, t, 0, 200, files=4)
+    # plant orphans: files on disk that no snapshot references
+    orphans = []
+    for i in range(6):
+        p = os.path.join(t.catalog.data_dir, f"orphan-{i}.parquet")
+        with open(p, "wb") as f:
+            f.write(b"junk")
+        orphans.append(p)
+
+    monkeypatch.setattr(ex, "_DRIVER_SWEEP_MAX", 3)  # force the overflow path
+    monkeypatch.setattr(ex, "_LIST_SHARDS", 8)
+    acted = sweep_orphans(t, quarantine=False, older_than_seconds=0)
+    assert sorted(acted) == sorted(orphans)
+    for p in orphans:
+        assert not os.path.exists(p)
+    assert t.scan().count() == 200  # live files untouched

@@ -42,3 +42,34 @@ def test_warehouse_lifecycle_and_maintain_all(spark, tmp_path):
         wh.drop_table("beta")
     with pytest.raises(ValueError):
         wh.create_table("../evil", IMAGES_SCHEMA, key_columns=["image_id"])
+
+
+def test_stage_metrics_rollup(spark, tmp_path):
+    """Maintenance runs leave stage timings in lineage; the rollup
+    aggregates them per op/stage with p50<=p95<=max and the warehouse sweep
+    surfaces + persists it."""
+    import os
+
+    from moonlink_spark.observability import collect_stage_metrics, rollup_stage_metrics
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+    from moonlink_spark.operators.clustering import cluster
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.sources.fixtures import create_images_table, generate_changes_df
+
+    t = create_images_table(spark, str(tmp_path / "t"), 400, seed=42)
+    merge_into(t, generate_changes_df(spark, 400, 80, seed=42), run_id="m1")
+    merge_into(t, generate_changes_df(spark, 400, 60, seed=42, lsn_start=9_000_000),
+               run_id="m2")
+    compact(t, CompactionConfig(mode="force_full", target_bytes=64 * 1024), run_id="c1")
+    cluster(t, by=["phash", "w", "h"], run_id="z1", target_bytes=64 * 1024)
+
+    runs = collect_stage_metrics(t)
+    assert {r["op"] for r in runs} >= {"merge", "compact", "cluster"}
+    roll = rollup_stage_metrics(t)
+    assert roll["merge"]["probe_sec"]["n"] == 2
+    for op, stages in roll.items():
+        for stage, s in stages.items():
+            assert s["p50"] <= s["p95"] <= s["max"], (op, stage, s)
+    assert os.path.exists(
+        os.path.join(t.catalog.metadata_dir, "metrics", "rollup.json")
+    )

@@ -63,6 +63,10 @@ def main() -> None:
     # optional expiry+sweep) over EVERY table under ROOT — the backend
     # multi-table maintenance loop as a single cron'd spark-submit
     ap.add_argument("--warehouse", default=None)
+    # after maintenance, export the resulting snapshot as genuine Iceberg
+    # v2 metadata under this directory (versioned: each invocation appends
+    # a new Iceberg snapshot — the reference's ongoing iceberg sync shape)
+    ap.add_argument("--export-iceberg", default=None, metavar="DEST_DIR")
     args = ap.parse_args()
     if bool(args.table) == bool(args.warehouse):
         ap.error("pass exactly one of --table or --warehouse")
@@ -157,6 +161,13 @@ def main() -> None:
             table, quarantine=(args.sweep_mode == "quarantine"),
             older_than_seconds=args.sweep_grace_seconds))
         out["swept_files"] = len(swept)
+
+    if args.export_iceberg:
+        from moonlink_spark.iceberg import export_iceberg
+
+        out["iceberg_metadata"] = timed(
+            "export_iceberg", lambda: export_iceberg(table, args.export_iceberg)
+        )
 
     out["rows"] = table.scan().count()
     out["files"] = len(table.data_files())

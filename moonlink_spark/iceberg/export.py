@@ -49,11 +49,11 @@ from moonlink_spark.iceberg.spec import (
 )
 
 _MANIFEST_MAX_ENTRIES = 25_000
-_DATA_SEQ = 1
-_DELETE_SEQ = 2
 
 
-def _write_pos_delete_parquet(table, deletes_df, out_dir: str) -> list[dict]:
+def _write_pos_delete_parquet(
+    table, deletes_df, out_dir: str, prefix: str = "icedel"
+) -> list[dict]:
     """Distributed conversion of the expanded (file_path, pos) delete rows
     into spec-schema position-delete parquet: sorted by (file_path, pos)
     within each file as the spec requires, parquet fields stamped with the
@@ -100,7 +100,7 @@ def _write_pos_delete_parquet(table, deletes_df, out_dir: str) -> list[dict]:
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         tmp_suffix = f".inprogress.{ctx.taskAttemptId()}"
-        path = os.path.join(out_dir, f"icedel-{pid:05d}.parquet")
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}.parquet")
         writer = None
         count = 0
         min_path = max_path = None
@@ -146,7 +146,7 @@ def _write_pos_delete_parquet(table, deletes_df, out_dir: str) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
-def _data_entry(f, schema_by_name, field_ids, snapshot_id: int) -> dict:
+def _data_entry(f, schema_by_name, field_ids, snapshot_id: int, seq: int) -> dict:
     lower, upper = [], []
     for name, st in (f.stats or {}).items():
         sf = schema_by_name.get(name)
@@ -162,8 +162,8 @@ def _data_entry(f, schema_by_name, field_ids, snapshot_id: int) -> dict:
     return {
         "status": 1,  # ADDED
         "snapshot_id": snapshot_id,
-        "sequence_number": _DATA_SEQ,
-        "file_sequence_number": _DATA_SEQ,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
         "data_file": {
             "content": 0,
             "file_path": norm_path(f.file_path),
@@ -177,12 +177,12 @@ def _data_entry(f, schema_by_name, field_ids, snapshot_id: int) -> dict:
     }
 
 
-def _delete_entry(info: dict, snapshot_id: int) -> dict:
+def _delete_entry(info: dict, snapshot_id: int, seq: int) -> dict:
     return {
         "status": 1,
         "snapshot_id": snapshot_id,
-        "sequence_number": _DELETE_SEQ,
-        "file_sequence_number": _DELETE_SEQ,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
         "data_file": {
             "content": 1,  # POSITION_DELETES
             "file_path": norm_path(info["file_path"]),
@@ -208,6 +208,7 @@ def _write_manifests(
     content: str,
     schema_json: str,
     tag: str,
+    seq: int,
 ) -> list[dict]:
     """Write Avro manifests chunked at 25k entries; returns manifest-file
     descriptors for the manifest list."""
@@ -231,7 +232,6 @@ def _write_manifests(
                 "content": content.encode(),
             },
         )
-        seq = _DATA_SEQ if content == "data" else _DELETE_SEQ
         out.append(
             {
                 "manifest_path": path,
@@ -256,7 +256,17 @@ def _write_manifests(
 def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str:
     """Translate a snapshot into genuine Iceberg v2 metadata under
     *dest_root*; returns the metadata.json path. See module docstring for
-    the layout. The export is idempotent per dest (rewrites v1)."""
+    the layout.
+
+    VERSIONED: re-exporting a later snapshot to the same dest appends a new
+    Iceberg snapshot, bumps the sequence numbers, writes
+    v{N+1}.metadata.json, records the prior metadata file in metadata-log,
+    and flips version-hint.text — the ongoing-sync shape of the reference
+    (iceberg_table_syncer.rs commits each mooncake snapshot as a new
+    fast-append; file_catalog.rs:606-624 accumulates metadata versions).
+    Re-exporting the SAME snapshot is a no-op returning the current path.
+    Time travel across exports works through any Iceberg reader
+    (read_iceberg_scan(snapshot_id=...))."""
     meta = table.meta
     sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
     snap = meta.snapshot_by_id(sid)
@@ -275,6 +285,27 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
     os.makedirs(metadata_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
 
+    # ---- prior export state (versioned evolution) ------------------------
+    exported_sid = int(sid)
+    hint_path = os.path.join(metadata_dir, "version-hint.text")
+    prior = None
+    prior_version = 0
+    if os.path.exists(hint_path):
+        with open(hint_path) as f:
+            prior_version = int(f.read().strip())
+        with open(os.path.join(metadata_dir, f"v{prior_version}.metadata.json")) as f:
+            prior = json.load(f)
+        if prior["current-snapshot-id"] == exported_sid:
+            return os.path.join(metadata_dir, f"v{prior_version}.metadata.json")
+        if any(s["snapshot-id"] == exported_sid for s in prior["snapshots"]):
+            raise ValueError(
+                f"snapshot {exported_sid} was already exported (only forward "
+                f"exports supported; use read_iceberg_scan(snapshot_id=...) "
+                f"for time travel)"
+            )
+    base_seq = prior["last-sequence-number"] if prior else 0
+    data_seq, delete_seq = base_seq + 1, base_seq + 2
+
     # ---- field ids + schema JSON -----------------------------------------
     from moonlink_spark.catalog.metadata import assign_field_ids
 
@@ -291,22 +322,30 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
     if delete_files:
         deletes_df = table.read_delete_rows(delete_files)
         if deletes_df is not None:
-            delete_infos = _write_pos_delete_parquet(table, deletes_df, data_dir)
+            delete_infos = _write_pos_delete_parquet(
+                table, deletes_df, data_dir, prefix=f"icedel-{exported_sid}"
+            )
 
     # ---- manifests + manifest list ---------------------------------------
-    exported_sid = int(sid)
     data_entries = [
-        _data_entry(f, schema_by_name, field_ids, exported_sid) for f in data_files
+        _data_entry(f, schema_by_name, field_ids, exported_sid, data_seq)
+        for f in data_files
     ]
-    del_entries = [_delete_entry(i, exported_sid) for i in delete_infos]
-    manifests = _write_manifests(metadata_dir, data_entries, "data", schema_json, "data")
+    del_entries = [_delete_entry(i, exported_sid, delete_seq) for i in delete_infos]
+    manifests = _write_manifests(
+        metadata_dir, data_entries, "data", schema_json,
+        f"{exported_sid}-data", data_seq,
+    )
     if del_entries:
         manifests += _write_manifests(
-            metadata_dir, del_entries, "deletes", schema_json, "del"
+            metadata_dir, del_entries, "deletes", schema_json,
+            f"{exported_sid}-del", delete_seq,
         )
     for m in manifests:
         m["added_snapshot_id"] = exported_sid
-    list_path = os.path.join(metadata_dir, f"snap-{exported_sid}-1-{uuid.uuid4().hex}.avro")
+    list_path = os.path.join(
+        metadata_dir, f"snap-{exported_sid}-1-{uuid.uuid4().hex}.avro"
+    )
     write_avro_file(
         list_path,
         MANIFEST_FILE_SCHEMA,
@@ -314,7 +353,7 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
         metadata={
             "format-version": b"2",
             "snapshot-id": str(exported_sid).encode(),
-            "sequence-number": str(_DELETE_SEQ).encode(),
+            "sequence-number": str(delete_seq).encode(),
         },
     )
 
@@ -322,11 +361,32 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
     now_ms = int(time.time() * 1000)
     total_records = sum(int(f.record_count) for f in data_files)
     total_deletes = sum(int(i["record_count"]) for i in delete_infos)
+    new_snapshot = {
+        "snapshot-id": exported_sid,
+        "parent-snapshot-id": prior["current-snapshot-id"] if prior else None,
+        "sequence-number": delete_seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(data_files)),
+            "added-records": str(total_records),
+            "added-position-delete-files": str(len(delete_infos)),
+            "added-position-deletes": str(total_deletes),
+        },
+        "schema-id": 0,
+    }
+    if new_snapshot["parent-snapshot-id"] is None:
+        new_snapshot.pop("parent-snapshot-id")
     tmeta = {
         "format-version": 2,
-        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table.root)),
+        "table-uuid": (
+            prior["table-uuid"]
+            if prior
+            else str(uuid.uuid5(uuid.NAMESPACE_URL, table.root))
+        ),
         "location": os.path.abspath(dest_root),
-        "last-sequence-number": _DELETE_SEQ,
+        "last-sequence-number": delete_seq,
         "last-updated-ms": now_ms,
         "last-column-id": max(field_ids.values()),
         "current-schema-id": 0,
@@ -343,29 +403,29 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
             "write.format.default": "parquet",
         },
         "current-snapshot-id": exported_sid,
-        "snapshots": [
-            {
-                "snapshot-id": exported_sid,
-                "sequence-number": _DELETE_SEQ,
-                "timestamp-ms": now_ms,
-                "manifest-list": list_path,
-                "summary": {
-                    "operation": "append",
-                    "added-data-files": str(len(data_files)),
-                    "added-records": str(total_records),
-                    "added-position-delete-files": str(len(delete_infos)),
-                    "added-position-deletes": str(total_deletes),
-                },
-                "schema-id": 0,
-            }
-        ],
-        "snapshot-log": [{"snapshot-id": exported_sid, "timestamp-ms": now_ms}],
-        "metadata-log": [],
+        "snapshots": (prior["snapshots"] if prior else []) + [new_snapshot],
+        "snapshot-log": (prior.get("snapshot-log", []) if prior else [])
+        + [{"snapshot-id": exported_sid, "timestamp-ms": now_ms}],
+        "metadata-log": (prior.get("metadata-log", []) if prior else [])
+        + (
+            [
+                {
+                    "metadata-file": os.path.join(
+                        metadata_dir, f"v{prior_version}.metadata.json"
+                    ),
+                    "timestamp-ms": prior["last-updated-ms"],
+                }
+            ]
+            if prior
+            else []
+        ),
     }
-    meta_path = os.path.join(metadata_dir, "v1.metadata.json")
+    new_version = prior_version + 1
+    meta_path = os.path.join(metadata_dir, f"v{new_version}.metadata.json")
     with open(meta_path + ".tmp", "w") as f:
         json.dump(tmeta, f, indent=1)
     os.rename(meta_path + ".tmp", meta_path)
-    with open(os.path.join(metadata_dir, "version-hint.text"), "w") as f:
-        f.write("1")
+    with open(hint_path + ".tmp", "w") as f:
+        f.write(str(new_version))
+    os.rename(hint_path + ".tmp", hint_path)
     return meta_path

@@ -188,3 +188,37 @@ def test_iceberg_scan_no_deletes(spark, tmp_path):
     ml = read_avro_via_jvm(spark, meta["snapshots"][0]["manifest-list"])
     assert [int(r.get("content")) for r in ml] == [0]
     assert read_iceberg_scan(spark, dest).count() == 200
+
+
+def test_versioned_reexport_time_travel(spark, tmp_path):
+    """Re-exporting a later snapshot appends a new Iceberg snapshot at a
+    higher sequence number under v2.metadata.json; both snapshots remain
+    scannable through the spec reader (time travel), and re-exporting the
+    same snapshot is a no-op."""
+    t = create_images_table(spark, str(tmp_path / "tbl"), 300, seed=42)
+    dest = str(tmp_path / "out")
+    p1 = export_iceberg(t, dest)
+    first_sid = t.current_snapshot_id()
+
+    merge_into(t, generate_changes_df(spark, 300, 80, seed=42), run_id="m1")
+    p2 = export_iceberg(t, dest)
+    assert p1.endswith("v1.metadata.json") and p2.endswith("v2.metadata.json")
+    assert export_iceberg(t, dest) == p2  # same snapshot: no-op
+
+    meta = load_iceberg_metadata(dest)
+    assert len(meta["snapshots"]) == 2
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == 2
+    assert meta["metadata-log"][0]["metadata-file"].endswith("v1.metadata.json")
+    assert meta["snapshots"][1]["parent-snapshot-id"] == first_sid
+
+    # current scan matches the post-merge native state
+    ice = read_iceberg_scan(spark, dest, columns=COLS)
+    native = t.scan(columns=COLS)
+    assert ice.count() == native.count()
+    assert ice.exceptAll(native).count() == 0
+    # time travel to the first exported snapshot
+    old = read_iceberg_scan(spark, dest, columns=COLS, snapshot_id=first_sid)
+    old_native = t.scan(columns=COLS, snapshot_id=first_sid)
+    assert old.count() == old_native.count() == 300
+    assert old.exceptAll(old_native).count() == 0

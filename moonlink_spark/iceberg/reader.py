@@ -145,4 +145,10 @@ def read_iceberg_scan(
     )
     if n_delete_rows <= _BROADCAST_DELETE_ROWS:
         dels = F.broadcast(dels)
+    else:
+        # force a shuffled-hash anti-join above the gate: the at-rest delete
+        # files are small, so Spark's size estimator would otherwise
+        # broadcast a relation whose in-memory row count is huge (same
+        # rationale as the native scan's expanded-size gate)
+        dels = dels.hint("shuffle_hash")
     return with_pos.join(dels, ["_fp", "_pos"], "left_anti").select(*cols)

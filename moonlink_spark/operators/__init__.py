@@ -1,5 +1,5 @@
 from moonlink_spark.operators.alter import alter_table
-from moonlink_spark.operators.merge import merge_into
+from moonlink_spark.operators.merge import ConcurrentAppendOverlap, merge_into
 from moonlink_spark.operators.compaction import CompactionConfig, compact, plan_compaction
 from moonlink_spark.operators.clustering import cluster
 from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
@@ -8,6 +8,7 @@ from moonlink_spark.operators.optimize import optimize
 from moonlink_spark.operators.rollback import rollback_to
 
 __all__ = [
+    "ConcurrentAppendOverlap",
     "rollback_to",
     "alter_table",
     "merge_into",

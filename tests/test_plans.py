@@ -140,3 +140,29 @@ def test_clustering_amplifies_file_skipping(spark, tmp_table_root):
     assert sorted(r["image_id"] for r in pruned.collect()) == sorted(
         r["image_id"] for r in full.collect()
     )
+
+
+def test_iceberg_reader_plan_shape(spark, tmp_path):
+    """The spec reader's scan must behave like the native one at scale:
+    column pruning + filter pushdown reach the parquet scan, and the small
+    position-delete side is broadcast for the anti-join (no shuffle of the
+    data side)."""
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.operators.merge import merge_into
+
+    t = create_images_table(spark, str(tmp_path / "t"), 400, seed=42)
+    merge_into(t, generate_changes_df(spark, 400, 80, seed=42), run_id="m1")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    df = read_iceberg_scan(spark, dest, columns=["image_id", "phash"]).filter(
+        F.col("phash") > 0
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(phash" in plan
+    data_reads = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "icedel" not in ln and "2147483546" not in ln
+    ]
+    assert data_reads and all("bytes" not in ln for ln in data_reads)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -261,6 +261,23 @@ def q_iceberg_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg_scan(spark, dest, columns=_NO_BYTES.split(", "))
 
 
+def q_iceberg_import_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional interop: export the post-merge snapshot as genuine
+    Iceberg v2, then IMPORT it as a brand-new MoonTable (data in place,
+    spec position-deletes converted back to bitmap DVs, field-ids
+    adopted) and scan the adopted table. Matching the LWW oracle proves a
+    full round trip through the interchange format in both directions."""
+    from moonlink_spark.iceberg import export_iceberg, import_iceberg
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "iceberg_imp")
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    dest = _fresh_root("iceberg_imp_ice")
+    export_iceberg(t, dest)
+    t2 = import_iceberg(spark, dest, _fresh_root("iceberg_imp_adopted"))
+    return t2.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows 18-20: size-tiered selection + bin-packing compaction over an
     80%-small-files layout carrying position deletes from a prior MERGE."""
@@ -1484,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "merge_cdc_lww": q_merge_cdc_lww,
         "iceberg_export_scan": q_iceberg_export_scan,
+        "iceberg_import_scan": q_iceberg_import_scan,
         "compact_small_files": q_compact_small_files,
         "cluster_zorder": q_cluster_zorder,
         "cluster_hilbert": q_cluster_hilbert,
@@ -1551,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "add_files_scan": base_images,
         "merge_cdc_lww": lww,
         "iceberg_export_scan": lww,
+        "iceberg_import_scan": lww,
         "compact_small_files": lww,
         "streaming_cdc_merge": lww,
         "streaming_cdc_self_maintain": lww,

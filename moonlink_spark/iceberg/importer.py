@@ -1,0 +1,154 @@
+"""Import (adopt) an external Apache Iceberg v2 table as a MoonTable.
+
+The inverse of export.py — together they make the engine's interop
+bidirectional: a user can hand any spec-compliant Iceberg table (what the
+reference engine produces, iceberg_table_manager.rs) to `import_iceberg`
+and get a fully-maintainable MoonTable:
+
+  - data parquet files are registered IN PLACE (add_files semantics,
+    batch_ingestion.rs:20-166 — no read, no rewrite; stats come from a
+    distributed parquet-footer job);
+  - position-delete files are converted to our bitmap deletion vectors
+    (the reverse of the export's DV→spec-parquet translation), with
+    per-file deleted_count updated so compaction's delete-ratio trigger
+    sees the imported deletes;
+  - the Iceberg schema JSON becomes the Spark schema and its field-ids
+    are adopted into the dotted-path ledger, so later schema evolution
+    stays consistent with the source table's ids.
+
+Scale: the only data-touching work is the footer-stats job and the
+delete-file read → bitmap write, both distributed; metadata work is
+O(files/25k) driver-side like any Iceberg planner.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.types as T
+from pyspark.sql import SparkSession, functions as F
+
+from moonlink_spark.iceberg.reader import (
+    _manifest_entries,
+    _manifest_list_entries,
+    load_iceberg_metadata,
+)
+from moonlink_spark.table import MoonTable
+
+
+def _spark_type(t) -> T.DataType:
+    """Iceberg schema-JSON type → Spark type (inverse of spec.iceberg_type)."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], _spark_type(f["type"]), not f.get("required"))
+                    for f in t["fields"]
+                ]
+            )
+        raise ValueError(f"unsupported Iceberg type for import: {t}")
+    mapping = {
+        "string": T.StringType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+    }
+    if t in mapping:
+        return mapping[t]
+    if isinstance(t, str) and t.startswith("decimal("):
+        p, s = t[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    raise ValueError(f"unsupported Iceberg type for import: {t!r}")
+
+
+def _adopt_ids(fields: list[dict], prefix: str = "") -> dict[str, int]:
+    ids: dict[str, int] = {}
+    for f in fields:
+        path = prefix + f["name"]
+        ids[path] = int(f["id"])
+        if isinstance(f["type"], dict) and f["type"].get("type") == "struct":
+            ids.update(_adopt_ids(f["type"]["fields"], path + "."))
+    return ids
+
+
+def import_iceberg(
+    spark: SparkSession,
+    src_root: str,
+    dest_root: str,
+    key_columns: list[str] | None = None,
+    snapshot_id: int | None = None,
+) -> MoonTable:
+    """Adopt the Iceberg table at *src_root* as a new MoonTable rooted at
+    *dest_root* (metadata only — data files stay where they are). Returns
+    the loaded MoonTable; its scan equals the Iceberg scan of the same
+    snapshot. *key_columns* defaults to the first schema column (needed
+    for MERGE; scans work regardless)."""
+    meta = load_iceberg_metadata(src_root)
+    if meta.get("format-version") != 2:
+        raise ValueError(f"unsupported format-version {meta.get('format-version')}")
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    ice_schema = meta["schemas"][0]
+    schema = T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), not f.get("required"))
+            for f in ice_schema["fields"]
+        ]
+    )
+    key_columns = key_columns or [ice_schema["fields"][0]["name"]]
+
+    data_paths: list[str] = []
+    delete_paths: list[str] = []
+    for m in _manifest_list_entries(spark, snap["manifest-list"]):
+        for e in _manifest_entries(spark, m["manifest_path"]):
+            if e["status"] == 2:
+                continue
+            (data_paths if e["content"] == 0 else delete_paths).append(e["file_path"])
+
+    t = MoonTable.create(spark, dest_root, schema, key_columns=key_columns)
+    # adopt the source's field ids (incl. nested) so evolution continues
+    # from the same id space; ids are never reused afterwards
+    tmeta, version = t.catalog.load_pinned()
+    ids = _adopt_ids(ice_schema["fields"])
+    tmeta.field_ids = ids
+    tmeta.next_field_id = max(ids.values()) + 1
+    t.catalog.commit(tmeta, expected_version=version)
+
+    t.add_files(data_paths, run_id="iceberg-import")
+
+    if delete_paths:
+        # spec position deletes -> bitmap DVs; file_path values are
+        # normalized the way our scanner reports them
+        dels = spark.read.parquet(*delete_paths).select(
+            F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias("file_path"),
+            F.col("pos").cast("long"),
+        )
+        n = dels.count()
+        delete_files = t.write_position_deletes(
+            dels, run_id="iceberg-import-dv", num_bins=t.dv_rewrite_bins(n)
+        )
+        per_file = {
+            r["file_path"]: r["cnt"]
+            for r in dels.groupBy("file_path").agg(F.count("*").alias("cnt")).collect()
+        }
+        data_files = t.data_files()
+        for f in data_files:
+            extra = per_file.get(f.file_path, 0)
+            if extra:
+                f.deleted_count += int(extra)
+        t.commit_snapshot(
+            "import-deletes",
+            data_files,
+            delete_files,
+            summary={
+                "imported-from": os.path.abspath(src_root),
+                "imported-position-deletes": n,
+                "imported-delete-files": len(delete_paths),
+            },
+        )
+    return t

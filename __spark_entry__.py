@@ -967,6 +967,29 @@ def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_streaming_iceberg_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous Iceberg sync (the reference's core loop: every snapshot
+    persisted to Iceberg, iceberg_table_syncer.rs:723-838): the streaming
+    CDC drain exports each epoch's snapshot as a new Iceberg v2 version
+    into a mirror directory; the RETURNED rows come from the spec-walking
+    Iceberg reader over the mirror, so matching the LWW oracle proves the
+    continuously-synced external copy equals the table."""
+    from moonlink_spark.iceberg import read_iceberg_scan
+    from moonlink_spark.streaming.ingest import MaintenancePolicy, ingest_cdc_dir
+
+    t = _make_table(spark, sf_dir, "stream_mirror")
+    stage = _fresh_root("stream_mirror_src")
+    ckpt = _fresh_root("stream_mirror_ckpt")
+    mirror = _fresh_root("stream_mirror_ice")
+    _changes_df(spark, sf_dir).coalesce(1).write.parquet(stage)
+    policy = MaintenancePolicy(
+        max_unclustered_files=1 << 60, max_unclustered_bytes=1 << 60,
+        iceberg_mirror=mirror,
+    )
+    ingest_cdc_dir(t, stage, ckpt, maintenance=policy)
+    return read_iceberg_scan(spark, mirror, columns=_NO_BYTES.split(", "))
+
+
 def q_streaming_cdc_self_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-maintaining streaming ingest: same CDC drain as
     streaming_cdc_merge, but a MaintenancePolicy inside the foreachBatch
@@ -1541,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups_lsh": q_embed_near_dups_lsh,
         "events_window_agg": q_events_window_agg,
         "streaming_cdc_merge": q_streaming_cdc_merge,
+        "streaming_iceberg_mirror": q_streaming_iceberg_mirror,
         "streaming_cdc_self_maintain": q_streaming_cdc_self_maintain,
         "events_stream_window": q_events_stream_window,
         "events_sessionize": q_events_sessionize,
@@ -1572,6 +1596,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_import_scan": lww,
         "compact_small_files": lww,
         "streaming_cdc_merge": lww,
+        "streaming_iceberg_mirror": lww,
         "streaming_cdc_self_maintain": lww,
         "cluster_zorder": lww.replace("changes", "changes") if False else None,  # set below
         "cluster_hilbert": None,

@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--self-maintain", action="store_true")
     ap.add_argument("--cluster-by", default="phash,w,h")
     ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    # continuous Iceberg sync: export every epoch's snapshot as a new
+    # Iceberg v2 version under this dir (the reference's per-snapshot
+    # iceberg persistence loop)
+    ap.add_argument("--iceberg-mirror", default=None, metavar="DEST_DIR")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,6 +64,11 @@ def main() -> None:
         if args.self_maintain
         else None
     )
+    if args.iceberg_mirror:
+        # mirroring without clustering: thresholds that never fire
+        policy = policy or MaintenancePolicy(max_unclustered_files=1 << 60,
+                                             max_unclustered_bytes=1 << 60)
+        policy.iceberg_mirror = args.iceberg_mirror
 
     if args.available_now:
         ingest_cdc_dir(

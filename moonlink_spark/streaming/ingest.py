@@ -46,6 +46,13 @@ class MaintenancePolicy:
     max_unclustered_bytes: int = 512 * 1024 * 1024
     delete_ratio: float = 0.5
     every_n_batches: int = 1
+    # continuous Iceberg sync: after each epoch's commit(s), export the
+    # resulting snapshot as genuine Iceberg v2 metadata under this dir —
+    # the reference's core loop (every mooncake snapshot persisted to
+    # Iceberg, iceberg_table_syncer.rs:723-838). Exactly-once: a replayed
+    # epoch's merge no-ops, the snapshot is unchanged, and export of an
+    # already-current snapshot is a no-op.
+    iceberg_mirror: str | None = None
 
     def due(self, table: MoonTable) -> bool:
         files = table.data_files()
@@ -96,6 +103,10 @@ def start_cdc_stream(
         merge_into(table, batch_df, run_id=f"stream-{batch_id}")
         if maintenance is not None and batch_id % maintenance.every_n_batches == 0:
             maybe_maintain(table, maintenance, run_id=f"stream-maint-{batch_id}")
+        if maintenance is not None and maintenance.iceberg_mirror:
+            from moonlink_spark.iceberg import export_iceberg
+
+            export_iceberg(table, maintenance.iceberg_mirror)
 
     writer = (
         changes_stream.writeStream.queryName(query_name)

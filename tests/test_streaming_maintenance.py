@@ -62,3 +62,35 @@ def test_policy_not_due_is_noop(spark, tmp_table_root):
     assert not policy.due(t)
     assert maybe_maintain(t, policy, run_id="noop") is None
     assert [s.operation for s in t.snapshots()] == ["append", "cluster"]
+
+
+def test_streaming_iceberg_mirror(spark, tmp_table_root, tmp_path):
+    """Continuous Iceberg sync: with iceberg_mirror set, every epoch's
+    resulting snapshot is exported as a new Iceberg version; after the
+    drain the mirror's spec scan equals the table scan, and the mirror
+    carries one Iceberg snapshot per exported table snapshot."""
+    from moonlink_spark.iceberg import read_iceberg_scan
+    from moonlink_spark.iceberg.reader import load_iceberg_metadata
+
+    t = create_images_table(spark, tmp_table_root, N, seed=42)
+    stage = os.path.join(str(tmp_path), "stage")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    mirror = os.path.join(str(tmp_path), "mirror")
+    b1 = generate_changes_df(spark, N, 100, seed=42)
+    b2 = generate_changes_df(spark, N, 80, seed=42, lsn_start=9_000_000)
+    b1.coalesce(1).write.parquet(stage)
+    b2.coalesce(1).write.parquet(stage, mode="append")
+
+    policy = MaintenancePolicy(
+        cluster_by=BY, max_unclustered_files=10**9,  # never cluster: sync only
+        iceberg_mirror=mirror,
+    )
+    ingest_cdc_dir(t, stage, ckpt, max_files_per_trigger=1, maintenance=policy)
+
+    meta = load_iceberg_metadata(mirror)
+    assert len(meta["snapshots"]) == 2  # one per epoch
+    assert meta["current-snapshot-id"] == t.current_snapshot_id()
+    ice = read_iceberg_scan(spark, mirror, columns=["image_id", "caption", "phash"])
+    native = t.scan(columns=["image_id", "caption", "phash"])
+    assert ice.count() == native.count()
+    assert ice.exceptAll(native).count() == 0

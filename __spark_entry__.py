@@ -844,6 +844,25 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIN_QUALITY = 0.75
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus cleaning — the composed pipeline a pre-training
+    data run executes: quality filter (score ≥ 0.75) → exact dedup (keep
+    lowest id per byte-identical group) → SimHash near-dup removal (drop
+    the higher id of each verified pair) → whitespace token counts. Every
+    stage is an independently oracle-checked kernel; this row checks their
+    COMPOSITION end to end."""
+    from moonlink_spark.pipeline.compose import corpus_clean
+
+    _load_views(spark, sf_dir)
+    return corpus_clean(
+        spark.table("documents"), min_quality=_MIN_QUALITY,
+        radius=_SIMHASH_RADIUS, bands=_SIMHASH_BANDS,
+    )
+
+
 def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection on the PRECOMPUTED perceptual-hash column
     (the lakehouse clustering key): banded Hamming search over phash finds
@@ -1325,6 +1344,46 @@ SELECT c.doc_a, c.doc_b,
        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
 FROM cand c JOIN s sa ON sa.id = c.doc_a JOIN s sb ON sb.id = c.doc_b
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_RADIUS}""",
+        "corpus_clean": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(trim(text), '{PUNCT_REGEX}')) AS DOUBLE) AS punct,
+         ({stop_hits}) AS stop_hits
+  FROM documents),
+scored AS (
+  SELECT doc_id, text,
+         round((CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN stop_hits / greatest(n_tokens, 1.0) >= 0.01 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN punct / greatest(n_chars, 1.0) <= 0.1 THEN 0.25 ELSE 0.0 END), 2) AS quality
+  FROM t),
+good AS (SELECT * FROM scored WHERE quality >= {_MIN_QUALITY}),
+uniq AS (
+  SELECT g.* FROM good g
+  JOIN (SELECT md5(text) AS m, min(doc_id) AS keeper FROM good GROUP BY md5(text)) k
+    ON g.doc_id = k.keeper),
+tok AS (SELECT doc_id AS id, unnest({words}) AS token FROM uniq),
+tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY id, token),
+hashed AS (SELECT id, tf, {hx('token')} AS h FROM tf),
+bitsums AS (SELECT id, {simhash_sums} FROM hashed GROUP BY id),
+s AS (SELECT id, ({simhash_bits}) AS simhash FROM bitsums),
+bk AS (
+  SELECT id, simhash, band,
+         (simhash >> (band * {60 // _SIMHASH_BANDS})) & {(1 << (60 // _SIMHASH_BANDS)) - 1} AS val
+  FROM s CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS band)),
+cand AS (
+  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+  FROM bk l JOIN bk r ON l.band = r.band AND l.val = r.val AND l.id < r.id),
+dropids AS (
+  SELECT DISTINCT c.doc_b FROM cand c
+  JOIN s sa ON sa.id = c.doc_a JOIN s sb ON sb.id = c.doc_b
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_RADIUS})
+SELECT u.doc_id,
+       CAST(len(regexp_split_to_array(trim(u.text), '\\s+')) AS BIGINT) AS ws_tokens,
+       u.quality
+FROM uniq u WHERE u.doc_id NOT IN (SELECT doc_b FROM dropids)""",
         "image_phash_neardup": f"""
 WITH images AS ({_images_select('duck')}),
 corpus AS ({_phash_corpus_select('duck')}),
@@ -1555,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "corpus_clean": q_corpus_clean,
         "image_phash_neardup": q_image_phash_neardup,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,

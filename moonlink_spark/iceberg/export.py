@@ -253,7 +253,9 @@ def _write_manifests(
     return out
 
 
-def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str:
+def export_iceberg(
+    table, dest_root: str, snapshot_id: int | None = None, pin_source: bool = True
+) -> str:
     """Translate a snapshot into genuine Iceberg v2 metadata under
     *dest_root*; returns the metadata.json path. See module docstring for
     the layout.
@@ -266,7 +268,13 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
     fast-append; file_catalog.rs:606-624 accumulates metadata versions).
     Re-exporting the SAME snapshot is a no-op returning the current path.
     Time travel across exports works through any Iceberg reader
-    (read_iceberg_scan(snapshot_id=...))."""
+    (read_iceberg_scan(snapshot_id=...)).
+
+    The export references the source table's data files IN PLACE, so with
+    *pin_source* (default) the exported snapshot is TAGGED on the source
+    table (`iceberg-export-<sid>`): expiry retains it and the orphan sweep
+    can never reclaim files the external mirror still references. Drop the
+    tag when the exported version is no longer needed."""
     meta = table.meta
     sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
     snap = meta.snapshot_by_id(sid)
@@ -428,4 +436,9 @@ def export_iceberg(table, dest_root: str, snapshot_id: int | None = None) -> str
     with open(hint_path + ".tmp", "w") as f:
         f.write(str(new_version))
     os.rename(hint_path + ".tmp", hint_path)
+    if pin_source:
+        # pin the source snapshot against expiry: the export references the
+        # table's data files in place, so the orphan sweep must never
+        # reclaim them while this exported version exists
+        table.create_tag(f"iceberg-export-{exported_sid}", snapshot_id=exported_sid)
     return meta_path

@@ -254,3 +254,33 @@ def test_import_iceberg_round_trip(spark, tmp_path):
     c = t2.scan(columns=COLS)
     assert c.count() == a.count()
     assert a.exceptAll(c).count() == 0
+
+
+def test_export_pins_source_against_sweep(spark, tmp_path):
+    """The export references data files in place, so the exported snapshot
+    is tagged on the source table: expiry + orphan sweep must not reclaim
+    any file the external mirror still references."""
+    from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
+
+    t = create_images_table(spark, str(tmp_path / "tbl"), 300, seed=42)
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    exported_sid = t.current_snapshot_id()
+    assert t.refs() == {f"iceberg-export-{exported_sid}": exported_sid}
+
+    # table moves on: merge + maintenance, then aggressive expiry + sweep
+    merge_into(t, generate_changes_df(spark, 300, 80, seed=42), run_id="m1")
+    from moonlink_spark.operators.compaction import CompactionConfig, compact
+
+    compact(t, CompactionConfig(mode="force_full", target_bytes=64 * 1024), run_id="c1")
+    expire_snapshots(t, retain_last=1)
+    sweep_orphans(t, quarantine=False, older_than_seconds=0)
+
+    # the mirror still scans its exported snapshot in full
+    assert read_iceberg_scan(spark, dest).count() == 300
+
+    # dropping the pin releases the files to a later sweep
+    t.drop_tag(f"iceberg-export-{exported_sid}")
+    expire_snapshots(t, retain_last=1)
+    swept = sweep_orphans(t, quarantine=False, older_than_seconds=0)
+    assert swept, "unpinned exported files should now be reclaimable"

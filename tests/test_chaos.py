@@ -50,7 +50,7 @@ def _run_scenario(spark, root, seed):
     for step in range(STEPS):
         action = rng.choice(
             ["merge", "merge", "merge", "compact", "cluster", "expire", "fused",
-             "incremental", "tag"]
+             "incremental", "tag", "branch", "export"]
         )
         rid = f"s{step}"
         if action == "merge":
@@ -77,6 +77,26 @@ def _run_scenario(spark, root, seed):
             for name in list(t.refs()):
                 t.drop_tag(name)
             t.create_tag(f"chk-{step}")
+        elif action == "branch":
+            # visible-rows-neutral: a staged branch write never touches
+            # main; dropping the branch releases its files to later sweeps
+            name = f"br-{step}"
+            t.create_branch(name)
+            extra = generate_images_df(spark, 30, seed=seed * 7 + step).withColumn(
+                "image_id", F.concat(F.col("image_id"), F.lit(f"-br{step}"))
+            )
+            t.append(extra, run_id=f"{rid}-b", branch=name)
+            assert t.scan(ref=name).count() == t.scan().count() + 30
+            t.drop_branch(name)
+        elif action == "export":
+            # Iceberg export mid-chaos: the spec reader must agree with the
+            # native scan at every randomly-chosen point (no pin: expire
+            # pressure stays deterministic per seed, mirror is throwaway)
+            from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+
+            mirror = os.path.join(f"{root}-mirrors", f"mirror-{step}")
+            export_iceberg(t, mirror, pin_source=False)
+            assert read_iceberg_scan(spark, mirror).count() == t.scan().count()
         else:
             expire_snapshots(t, retain_last=2)
             sweep_orphans(t, quarantine=False, older_than_seconds=0)

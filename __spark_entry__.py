@@ -241,6 +241,22 @@ def q_merge_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_rest_json_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 8 analog (rest_ingest/json_converter.rs): the change batch
+    staged as REST-style JSON-lines events (binary base64-encoded), parsed
+    and type-coerced against the DECLARED table schema JVM-side
+    (sources/json_cdc.py), then applied through the same MERGE kernel —
+    the LWW oracle proves the JSON converter path end to end."""
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.sources.json_cdc import read_json_cdc
+
+    t = _make_table(spark, sf_dir, "rest_json")
+    stage = _fresh_root("rest_json_src")
+    _changes_df(spark, sf_dir).write.json(stage)
+    merge_into(t, read_json_cdc(spark, stage, t.schema), run_id="m1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_iceberg_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-native interop: merge (so position deletes exist), export the
     snapshot as GENUINE Iceberg v2 metadata (JSON + handwritten Avro
@@ -1584,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_cdc_lww": q_merge_cdc_lww,
         "iceberg_export_scan": q_iceberg_export_scan,
         "iceberg_import_scan": q_iceberg_import_scan,
+        "rest_json_cdc_merge": q_rest_json_cdc_merge,
         "compact_small_files": q_compact_small_files,
         "cluster_zorder": q_cluster_zorder,
         "cluster_hilbert": q_cluster_hilbert,
@@ -1654,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_cdc_lww": lww,
         "iceberg_export_scan": lww,
         "iceberg_import_scan": lww,
+        "rest_json_cdc_merge": lww,
         "compact_small_files": lww,
         "streaming_cdc_merge": lww,
         "streaming_iceberg_mirror": lww,

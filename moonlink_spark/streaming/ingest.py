@@ -124,26 +124,41 @@ def ingest_cdc_dir(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     maintenance: MaintenancePolicy | None = None,
+    format: str = "parquet",
 ) -> None:
-    """Drain a parquet drop-directory of CDC files into *table* and stop
+    """Drain a drop-directory of CDC files into *table* and stop
     (Trigger.AvailableNow): the bounded-backfill shape of the continuous
-    path above. Each micro-batch is one transactional MERGE commit."""
+    path above. Each micro-batch is one transactional MERGE commit.
+
+    *format*: "parquet" (typed files) or "json" (newline-delimited REST-
+    style events parsed/coerced against the table schema — the
+    rest_ingest/json_converter.rs analog, sources/json_cdc.py)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     schema = table.schema
     import pyspark.sql.types as T
 
-    src_schema = T.StructType(
-        [
-            T.StructField("op", T.StringType(), False),
-            T.StructField("lsn", T.LongType(), False),
-            *schema.fields,
-        ]
-    )
-    reader = table.spark.readStream.schema(src_schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(changes_dir)
+    if format == "json":
+        from moonlink_spark.sources.json_cdc import stream_json_cdc
+
+        stream = stream_json_cdc(
+            table.spark, changes_dir, schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    elif format == "parquet":
+        src_schema = T.StructType(
+            [
+                T.StructField("op", T.StringType(), False),
+                T.StructField("lsn", T.LongType(), False),
+                *schema.fields,
+            ]
+        )
+        reader = table.spark.readStream.schema(src_schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(changes_dir)
+    else:
+        raise ValueError(f"unsupported CDC format {format!r}")
     q = start_cdc_stream(
         table, stream, checkpoint_dir, trigger={"availableNow": True},
         query_name="moonlink_cdc_backfill", maintenance=maintenance,

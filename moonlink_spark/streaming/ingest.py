@@ -53,6 +53,13 @@ class MaintenancePolicy:
     # epoch's merge no-ops, the snapshot is unchanged, and export of an
     # already-current snapshot is a no-op.
     iceberg_mirror: str | None = None
+    # each export pins its source snapshot with an iceberg-export-<sid>
+    # tag (sweeps must not reclaim files the mirror references). A
+    # long-running stream would accumulate one pin per epoch; keep only
+    # the newest N pins — older mirror versions become best-effort once
+    # their pins rotate out (the Iceberg mirror-retention trade-off).
+    # None = keep every pin.
+    mirror_keep_pins: int | None = 8
 
     def due(self, table: MoonTable) -> bool:
         files = table.data_files()
@@ -107,6 +114,15 @@ def start_cdc_stream(
             from moonlink_spark.iceberg import export_iceberg
 
             export_iceberg(table, maintenance.iceberg_mirror)
+            keep = maintenance.mirror_keep_pins
+            if keep is not None:
+                pins = sorted(
+                    (sid, name)
+                    for name, sid in table.refs().items()
+                    if name.startswith("iceberg-export-")
+                )
+                for _, name in pins[:-keep]:
+                    table.drop_tag(name)
 
     writer = (
         changes_stream.writeStream.queryName(query_name)

@@ -94,3 +94,23 @@ def test_streaming_iceberg_mirror(spark, tmp_table_root, tmp_path):
     native = t.scan(columns=["image_id", "caption", "phash"])
     assert ice.count() == native.count()
     assert ice.exceptAll(native).count() == 0
+
+
+def test_mirror_pin_rotation(spark, tmp_table_root, tmp_path):
+    """A long-running mirror must not accumulate one pin-tag per epoch:
+    only the newest mirror_keep_pins export pins survive."""
+    t = create_images_table(spark, tmp_table_root, N, seed=42)
+    stage = os.path.join(str(tmp_path), "stage")
+    for i, (n, lsn) in enumerate([(60, 1_000), (50, 2_000_000), (40, 4_000_000)]):
+        generate_changes_df(spark, N, n, seed=42, lsn_start=lsn).coalesce(1).write.parquet(
+            stage, mode="append" if i else "overwrite"
+        )
+    policy = MaintenancePolicy(
+        cluster_by=BY, max_unclustered_files=10**9,
+        iceberg_mirror=os.path.join(str(tmp_path), "mirror"),
+        mirror_keep_pins=2,
+    )
+    ingest_cdc_dir(t, stage, os.path.join(str(tmp_path), "ckpt"),
+                   max_files_per_trigger=1, maintenance=policy)
+    pins = [n for n in t.refs() if n.startswith("iceberg-export-")]
+    assert len(pins) == 2  # 3 epochs exported, oldest pin rotated out

@@ -14,8 +14,11 @@ single-event-loop + version-hint CAS guarantee (SURVEY.md §3.3).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import uuid
+
+_LOG = logging.getLogger("moonlink_spark.table")
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 import pyspark.sql.types as T
@@ -896,6 +899,18 @@ class MoonTable:
 
         lock_path = os.path.join(self.catalog.metadata_dir, "maintenance.lock")
 
+        def _still_ours() -> bool:
+            # OWNERSHIP GUARD: a holder stalled past the TTL (GC pause,
+            # SIGSTOP, NFS hang) has its lock broken and re-acquired by
+            # another job. When the stalled holder resumes, its heartbeat
+            # and its release must NOT touch the usurper's lock file —
+            # re-read the payload and act only if run_id still matches.
+            try:
+                with open(lock_path) as f:
+                    return _json.load(f).get("run_id") == run_id
+            except (FileNotFoundError, _json.JSONDecodeError, OSError):
+                return False
+
         @contextlib.contextmanager
         def _lock():
             owner = False
@@ -951,6 +966,8 @@ class MoonTable:
             def _heartbeat() -> None:
                 interval = max(ttl_seconds / 4.0, 0.01)
                 while not stop_beat.wait(interval):
+                    if not _still_ours():
+                        return  # lock broken/usurped from under us: stop
                     try:
                         os.utime(lock_path)
                     except FileNotFoundError:
@@ -964,10 +981,18 @@ class MoonTable:
                 stop_beat.set()
                 beat.join(timeout=1.0)
                 if owner:
-                    try:
-                        os.unlink(lock_path)
-                    except FileNotFoundError:
-                        pass
+                    if _still_ours():
+                        try:
+                            os.unlink(lock_path)
+                        except FileNotFoundError:
+                            pass
+                    else:
+                        # lock was TTL-broken while we were stalled and now
+                        # belongs to someone else: leave it alone
+                        _LOG.warning(
+                            "maintenance lock on %s lost (TTL-broken) during "
+                            "run %s; not releasing", self.root, run_id
+                        )
 
         return _lock()
 

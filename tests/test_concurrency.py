@@ -359,3 +359,53 @@ def test_dv_rewrite_parallelism(spark, tmp_path, monkeypatch):
     res = merge_into(table, changes, run_id="m1")
     assert res.matched_keys > 30  # enough matches to span multiple bins
     assert len(table.delete_files()) > 1
+
+
+def test_lock_lost_holder_does_not_release_usurper(spark, tmp_path):
+    """Ownership guard (round-4 ADVICE): a holder stalled past the TTL has
+    its lock broken and re-acquired by another run. When the stalled holder
+    resumes, its release must NOT unlink the usurper's lock — otherwise a
+    third job could acquire and run concurrently with the second."""
+    table = create_images_table(spark, str(tmp_path / "t"), 200, seed=42)
+    lock_path = os.path.join(table.catalog.metadata_dir, "maintenance.lock")
+
+    cm = table.maintenance_lock("compact", "stalled", ttl_seconds=3600)
+    cm.__enter__()
+    # Simulate the stall + TTL break: another run replaces the lock file
+    # (atomic-rename break followed by its own O_EXCL acquire).
+    os.unlink(lock_path)
+    with open(lock_path, "w") as f:
+        json.dump({"job": "merge", "run_id": "usurper", "pid": 12345}, f)
+
+    cm.__exit__(None, None, None)  # stalled holder resumes and "releases"
+
+    # The usurper's lock must survive the stalled holder's exit.
+    assert os.path.exists(lock_path)
+    with open(lock_path) as f:
+        assert json.load(f)["run_id"] == "usurper"
+    os.unlink(lock_path)
+
+
+def test_lock_heartbeat_stops_after_usurpation(spark, tmp_path):
+    """The stalled holder's heartbeat must not keep the usurper's lock
+    artificially fresh: once the payload's run_id no longer matches, the
+    heartbeat thread stops touching the file."""
+    import time
+
+    table = create_images_table(spark, str(tmp_path / "t"), 200, seed=42)
+    lock_path = os.path.join(table.catalog.metadata_dir, "maintenance.lock")
+
+    cm = table.maintenance_lock("compact", "stalled", ttl_seconds=0.2)
+    cm.__enter__()
+    os.unlink(lock_path)
+    with open(lock_path, "w") as f:
+        json.dump({"job": "merge", "run_id": "usurper", "pid": 12345}, f)
+    old = os.stat(lock_path).st_mtime - 100
+    os.utime(lock_path, (old, old))
+    mtime_before = os.stat(lock_path).st_mtime
+
+    time.sleep(0.6)  # several heartbeat intervals (ttl/4 = 0.05s)
+    assert os.stat(lock_path).st_mtime == mtime_before  # never touched
+    cm.__exit__(None, None, None)
+    assert os.path.exists(lock_path)
+    os.unlink(lock_path)

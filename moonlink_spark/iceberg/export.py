@@ -209,6 +209,7 @@ def _write_manifests(
     schema_json: str,
     tag: str,
     seq: int,
+    schema_id: int = 0,
 ) -> list[dict]:
     """Write Avro manifests chunked at 25k entries; returns manifest-file
     descriptors for the manifest list."""
@@ -225,7 +226,7 @@ def _write_manifests(
             chunk,
             metadata={
                 "schema": schema_json.encode(),
-                "schema-id": b"0",
+                "schema-id": str(schema_id).encode(),
                 "partition-spec": b"[]",
                 "partition-spec-id": b"0",
                 "format-version": b"2",
@@ -315,15 +316,37 @@ def export_iceberg(
     data_seq, delete_seq = base_seq + 1, base_seq + 2
 
     # ---- field ids + schema JSON -----------------------------------------
+    # SCHEMA HISTORY: Iceberg keeps one schema entry per schema-id and each
+    # snapshot records the id it was written under, so external time travel
+    # reads old snapshots with their write-time schema. If the table evolved
+    # since the prior export, append a NEW schema-id; if the current schema
+    # matches a previously-exported one (e.g. drop + re-add round-trip), the
+    # matching id is reused.
     from moonlink_spark.catalog.metadata import assign_field_ids
 
     field_ids = dict(meta.field_ids or {})
     if not field_ids:
         field_ids, _ = assign_field_ids(table.schema)
     ice_fields = iceberg_schema_fields(table.schema, field_ids, table.key_columns)
-    ice_schema = {"type": "struct", "schema-id": 0, "fields": ice_fields}
+    prior_schemas = list(prior["schemas"]) if prior else []
+    schema_id = None
+    for s in prior_schemas:
+        if s["fields"] == ice_fields:
+            schema_id = s["schema-id"]
+            break
+    if schema_id is None:
+        schema_id = max((s["schema-id"] for s in prior_schemas), default=-1) + 1
+        ice_schema = {"type": "struct", "schema-id": schema_id, "fields": ice_fields}
+        all_schemas = prior_schemas + [ice_schema]
+    else:
+        ice_schema = next(s for s in prior_schemas if s["schema-id"] == schema_id)
+        all_schemas = prior_schemas
     schema_json = json.dumps(ice_schema, separators=(",", ":"))
     schema_by_name = {f.name: f for f in table.schema.fields}
+    last_column_id = max(
+        [max(field_ids.values())]
+        + ([prior["last-column-id"]] if prior else [])
+    )
 
     # ---- position deletes: bitmap DVs -> spec parquet --------------------
     delete_infos: list[dict] = []
@@ -342,12 +365,12 @@ def export_iceberg(
     del_entries = [_delete_entry(i, exported_sid, delete_seq) for i in delete_infos]
     manifests = _write_manifests(
         metadata_dir, data_entries, "data", schema_json,
-        f"{exported_sid}-data", data_seq,
+        f"{exported_sid}-data", data_seq, schema_id,
     )
     if del_entries:
         manifests += _write_manifests(
             metadata_dir, del_entries, "deletes", schema_json,
-            f"{exported_sid}-del", delete_seq,
+            f"{exported_sid}-del", delete_seq, schema_id,
         )
     for m in manifests:
         m["added_snapshot_id"] = exported_sid
@@ -382,7 +405,7 @@ def export_iceberg(
             "added-position-delete-files": str(len(delete_infos)),
             "added-position-deletes": str(total_deletes),
         },
-        "schema-id": 0,
+        "schema-id": schema_id,
     }
     if new_snapshot["parent-snapshot-id"] is None:
         new_snapshot.pop("parent-snapshot-id")
@@ -396,9 +419,9 @@ def export_iceberg(
         "location": os.path.abspath(dest_root),
         "last-sequence-number": delete_seq,
         "last-updated-ms": now_ms,
-        "last-column-id": max(field_ids.values()),
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
+        "last-column-id": last_column_id,
+        "current-schema-id": schema_id,
+        "schemas": all_schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,

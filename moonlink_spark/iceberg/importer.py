@@ -31,39 +31,15 @@ from pyspark.sql import SparkSession, functions as F
 from moonlink_spark.iceberg.reader import (
     _manifest_entries,
     _manifest_list_entries,
+    _reject_equality_deletes,
+    check_supported,
     load_iceberg_metadata,
+    resolve_schema,
 )
 from moonlink_spark.table import MoonTable
 
 
-def _spark_type(t) -> T.DataType:
-    """Iceberg schema-JSON type → Spark type (inverse of spec.iceberg_type)."""
-    if isinstance(t, dict):
-        if t.get("type") == "struct":
-            return T.StructType(
-                [
-                    T.StructField(f["name"], _spark_type(f["type"]), not f.get("required"))
-                    for f in t["fields"]
-                ]
-            )
-        raise ValueError(f"unsupported Iceberg type for import: {t}")
-    mapping = {
-        "string": T.StringType(),
-        "long": T.LongType(),
-        "int": T.IntegerType(),
-        "double": T.DoubleType(),
-        "float": T.FloatType(),
-        "boolean": T.BooleanType(),
-        "binary": T.BinaryType(),
-        "date": T.DateType(),
-        "timestamptz": T.TimestampType(),
-    }
-    if t in mapping:
-        return mapping[t]
-    if isinstance(t, str) and t.startswith("decimal("):
-        p, s = t[len("decimal(") : -1].split(",")
-        return T.DecimalType(int(p), int(s))
-    raise ValueError(f"unsupported Iceberg type for import: {t!r}")
+from moonlink_spark.iceberg.spec import spark_type as _spark_type
 
 
 def _adopt_ids(fields: list[dict], prefix: str = "") -> dict[str, int]:
@@ -89,11 +65,12 @@ def import_iceberg(
     snapshot. *key_columns* defaults to the first schema column (needed
     for MERGE; scans work regardless)."""
     meta = load_iceberg_metadata(src_root)
-    if meta.get("format-version") != 2:
-        raise ValueError(f"unsupported format-version {meta.get('format-version')}")
+    check_supported(meta, src_root)
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
-    ice_schema = meta["schemas"][0]
+    # adopt the schema the imported snapshot was WRITTEN under (schema-id
+    # resolution), not blindly schemas[0]
+    ice_schema = resolve_schema(meta, snap)
     schema = T.StructType(
         [
             T.StructField(f["name"], _spark_type(f["type"]), not f.get("required"))
@@ -108,6 +85,7 @@ def import_iceberg(
         for e in _manifest_entries(spark, m["manifest_path"]):
             if e["status"] == 2:
                 continue
+            _reject_equality_deletes(e, snap["manifest-list"])
             (data_paths if e["content"] == 0 else delete_paths).append(e["file_path"])
 
     t = MoonTable.create(spark, dest_root, schema, key_columns=key_columns)
@@ -116,7 +94,11 @@ def import_iceberg(
     tmeta, version = t.catalog.load_pinned()
     ids = _adopt_ids(ice_schema["fields"])
     tmeta.field_ids = ids
-    tmeta.next_field_id = max(ids.values()) + 1
+    # never reuse an id from ANY schema in the source's history (dropped
+    # columns in newer/older schemas must not be resurrected under a new name)
+    tmeta.next_field_id = (
+        max([meta.get("last-column-id", 0)] + list(ids.values())) + 1
+    )
     t.catalog.commit(tmeta, expected_version=version)
 
     t.add_files(data_paths, run_id="iceberg-import")

@@ -100,6 +100,50 @@ def load_iceberg_metadata(table_root: str) -> dict:
         return json.load(f)
 
 
+def resolve_schema(meta: dict, snap: dict | None = None) -> dict:
+    """The schema a snapshot was written under: its schema-id entry in the
+    metadata's schemas list (falling back to current-schema-id). This is
+    what makes external time travel read OLD snapshots with their OLD
+    column set after schema evolution."""
+    sid = (snap or {}).get("schema-id", meta.get("current-schema-id", 0))
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == sid:
+            return s
+    return meta["schemas"][0]
+
+
+def check_supported(meta: dict, table_root: str) -> None:
+    """Up-front validation of the Iceberg feature surface this engine
+    consumes — a clear error beats a confusing AnalysisException deep in
+    the delete-file read. Unsupported: equality deletes (content=2 data
+    files are rejected per-entry in the manifest walk) and non-identity /
+    non-empty partition specs (partition pruning semantics would be
+    silently lost)."""
+    if meta.get("format-version") != 2:
+        raise ValueError(
+            f"unsupported Iceberg format-version "
+            f"{meta.get('format-version')} at {table_root}"
+        )
+    for spec in meta.get("partition-specs", []):
+        if spec.get("fields"):
+            raise ValueError(
+                f"unsupported: partitioned Iceberg table at {table_root} "
+                f"(spec-id {spec.get('spec-id')} has partition fields "
+                f"{[f.get('name') for f in spec['fields']]}; only "
+                f"unpartitioned tables are supported — identity-partition "
+                f"semantics would be silently lost)"
+            )
+
+
+def _reject_equality_deletes(entry: dict, source: str) -> None:
+    if entry["content"] == 2:
+        raise ValueError(
+            f"unsupported: equality-delete file "
+            f"{entry['file_path']} in {source} (content=2); only position "
+            f"deletes (content=1) are supported"
+        )
+
+
 def read_iceberg_scan(
     spark: SparkSession,
     table_root: str,
@@ -109,8 +153,7 @@ def read_iceberg_scan(
     """Scan an Iceberg v2 table directory through the spec protocol alone;
     returns the live rows (position deletes applied)."""
     meta = load_iceberg_metadata(table_root)
-    if meta.get("format-version") != 2:
-        raise ValueError(f"unsupported Iceberg format-version {meta.get('format-version')}")
+    check_supported(meta, table_root)
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
 
@@ -121,6 +164,7 @@ def read_iceberg_scan(
         for e in _manifest_entries(spark, m["manifest_path"]):
             if e["status"] == 2:  # DELETED entry: file no longer live
                 continue
+            _reject_equality_deletes(e, snap["manifest-list"])
             if e["content"] == 0:
                 data_paths.append(e["file_path"])
             else:
@@ -129,9 +173,26 @@ def read_iceberg_scan(
 
     if not data_paths:
         raise ValueError(f"no live data files in snapshot {sid} of {table_root}")
-    schema_fields = [f["name"] for f in meta["schemas"][0]["fields"]]
+    snap_schema = resolve_schema(meta, snap)
+    schema_fields = [f["name"] for f in snap_schema["fields"]]
     cols = columns or schema_fields
-    df = spark.read.parquet(*data_paths)
+    # schema evolution is metadata-only: the snapshot's schema — not the
+    # data files — defines the read columns. Reading with the snapshot's
+    # schema as the EXPLICIT read schema makes parquet fill columns absent
+    # from older files with NULL and ignore physically-present dropped
+    # columns, exactly as a spec-compliant reader does (no mergeSchema
+    # footer sweep needed).
+    import pyspark.sql.types as T
+
+    from moonlink_spark.iceberg.spec import spark_type
+
+    read_schema = T.StructType(
+        [
+            T.StructField(f["name"], spark_type(f["type"]), not f.get("required"))
+            for f in snap_schema["fields"]
+        ]
+    )
+    df = spark.read.schema(read_schema).parquet(*data_paths)
     if not delete_paths:
         return df.select(*cols)
 

@@ -153,6 +153,36 @@ def iceberg_type(dt: T.DataType):
     raise ValueError(f"unsupported Spark type for Iceberg export: {dt}")
 
 
+def spark_type(t) -> T.DataType:
+    """Iceberg schema-JSON type → Spark type (inverse of iceberg_type)."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], spark_type(f["type"]), not f.get("required"))
+                    for f in t["fields"]
+                ]
+            )
+        raise ValueError(f"unsupported Iceberg type: {t}")
+    mapping = {
+        "string": T.StringType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+    }
+    if t in mapping:
+        return mapping[t]
+    if isinstance(t, str) and t.startswith("decimal("):
+        p, s = t[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    raise ValueError(f"unsupported Iceberg type: {t!r}")
+
+
 def iceberg_schema_fields(
     schema: T.StructType,
     field_ids: dict[str, int],

@@ -90,22 +90,26 @@ def alter_table(
             raise ValueError(f"cannot drop key column {c!r}")
         if c not in paths:
             raise ValueError(f"cannot drop unknown column {c!r}")
-    for f in add_columns:
-        if f.name in paths:
-            raise ValueError(f"column {f.name!r} already exists")
-        if not f.nullable:
-            raise ValueError(f"added column {f.name!r} must be nullable")
-        parent = f.name.rsplit(".", 1)[0] if "." in f.name else None
-        if parent is not None and parent not in paths:
-            raise ValueError(f"parent struct {parent!r} of {f.name!r} not found")
-
     new_schema = schema
     for c in drop_columns:
         new_schema = _drop_at(new_schema, c.split("."), c)
+
+    # validate adds against the EVOLVING schema, not the pre-alter paths
+    # snapshot: add_columns=[meta, meta.x] in one call is legal (the parent
+    # exists by the time the child is applied), while a child under a
+    # just-dropped or never-added parent still fails cleanly in _add_at
+    live = {p for p, _ in schema_paths(new_schema)}
     for f in add_columns:
+        if f.name in live:
+            raise ValueError(f"column {f.name!r} already exists")
+        if not f.nullable:
+            raise ValueError(f"added column {f.name!r} must be nullable")
         parts = f.name.split(".")
         leaf = T.StructField(parts[-1], f.dataType, True, f.metadata)
         new_schema = _add_at(new_schema, parts[:-1], leaf, f.name)
+        live.add(f.name)
+        if isinstance(f.dataType, T.StructType):
+            live.update(f"{f.name}.{sub}" for sub, _ in schema_paths(f.dataType))
 
     meta.schema_json = new_schema.json()
     # field-id ledger over DOTTED PATHS: drops RETIRE the id (and every

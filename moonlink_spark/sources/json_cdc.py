@@ -34,17 +34,65 @@ _CORRUPT = "_corrupt_record"
 _OPS = ("I", "U", "D")
 
 
+def _read_type(dt: T.DataType) -> T.DataType:
+    """Recursively remap BinaryType → StringType (JSON has no bytes) at ANY
+    nesting depth — a binary field inside a struct/array/map would otherwise
+    hit Spark's JSON reader as-is and land every row in _corrupt_record."""
+    if isinstance(dt, T.BinaryType):
+        return T.StringType()
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _read_type(f.dataType), f.nullable) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_read_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_read_type(dt.keyType), _read_type(dt.valueType), dt.valueContainsNull)
+    return dt
+
+
+def _decode_binary(col: F.Column, dt: T.DataType) -> F.Column:
+    """Rebuild a value parsed under _read_type back to the table type:
+    unbase64 every (possibly nested) binary leaf, preserving null holes."""
+    if isinstance(dt, T.BinaryType):
+        return F.unbase64(col)
+    if isinstance(dt, T.StructType):
+        if not any(_has_binary(f.dataType) for f in dt.fields):
+            return col
+        rebuilt = F.struct(
+            *[_decode_binary(col.getField(f.name), f.dataType).alias(f.name) for f in dt.fields]
+        )
+        return F.when(col.isNull(), F.lit(None).cast(dt)).otherwise(rebuilt)
+    if isinstance(dt, T.ArrayType) and _has_binary(dt.elementType):
+        return F.transform(col, lambda x: _decode_binary(x, dt.elementType))
+    if isinstance(dt, T.MapType) and _has_binary(dt.valueType):
+        return F.transform_values(col, lambda _, v: _decode_binary(v, dt.valueType))
+    return col
+
+
+def _has_binary(dt: T.DataType) -> bool:
+    if isinstance(dt, T.BinaryType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_binary(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_binary(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_binary(dt.keyType) or _has_binary(dt.valueType)
+    return False
+
+
 def cdc_json_schema(table_schema: T.StructType) -> T.StructType:
     """The event schema: op + lsn + the table's columns, with binary
-    columns read as base64 STRINGS (JSON has no bytes; the reference's
-    converter base64-decodes bytea payloads — we decode after the scan)."""
+    columns — at any nesting depth — read as base64 STRINGS (JSON has no
+    bytes; the reference's converter base64-decodes bytea payloads — we
+    decode after the scan)."""
     fields = [
         T.StructField("op", T.StringType(), True),
         T.StructField("lsn", T.LongType(), True),
     ]
     for f in table_schema.fields:
-        dt = T.StringType() if isinstance(f.dataType, T.BinaryType) else f.dataType
-        fields.append(T.StructField(f.name, dt, True))
+        fields.append(T.StructField(f.name, _read_type(f.dataType), True))
     fields.append(T.StructField(_CORRUPT, T.StringType(), True))
     return T.StructType(fields)
 
@@ -64,8 +112,7 @@ def _finish(df: DataFrame, table_schema: T.StructType, strict: bool) -> DataFram
         df = df.filter(~bad)
     cols = [F.col("op"), F.col("lsn")]
     for f in table_schema.fields:
-        c = F.unbase64(F.col(f.name)) if isinstance(f.dataType, T.BinaryType) else F.col(f.name)
-        cols.append(c.alias(f.name))
+        cols.append(_decode_binary(F.col(f.name), f.dataType).alias(f.name))
     return df.select(*cols)
 
 

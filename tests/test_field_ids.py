@@ -180,3 +180,28 @@ def test_nested_drop_whole_struct_retires_descendants(spark, tmp_table_root):
     got = t.scan()
     assert got.count() == 40
     assert got.filter(F.col("meta").isNotNull()).count() == 0
+
+
+def test_add_struct_and_child_in_one_call(spark, tmp_table_root):
+    """add_columns=[ext, ext.x] in ONE alter call is legal: parents are
+    validated against the EVOLVING schema as adds are applied (round-4
+    ADVICE), while a child under a missing parent still fails cleanly."""
+    t = _mk_nested(spark, tmp_table_root, n=40)
+    alter_table(
+        t,
+        add_columns=[
+            T.StructField("ext", T.StructType([]), True),
+            T.StructField("ext.x", T.LongType(), True),
+        ],
+    )
+    ids = t.meta.field_ids
+    assert "ext" in ids and "ext.x" in ids
+    got = t.scan()
+    assert got.count() == 40
+    assert got.filter(F.col("ext.x").isNotNull()).count() == 0
+
+    # child under a parent that never exists still fails with a clear error
+    import pytest
+
+    with pytest.raises(ValueError, match="parent struct"):
+        alter_table(t, add_columns=[T.StructField("nope.y", T.LongType(), True)])

@@ -284,3 +284,91 @@ def test_export_pins_source_against_sweep(spark, tmp_path):
     expire_snapshots(t, retain_last=1)
     swept = sweep_orphans(t, quarantine=False, older_than_seconds=0)
     assert swept, "unpinned exported files should now be reclaimable"
+
+
+def test_export_schema_history_time_travel(spark, tmp_path):
+    """Schema evolution between exports appends a NEW schema-id; each
+    snapshot is stamped with its write-time id, so external time travel
+    reads the OLD snapshot with the OLD column set and the new snapshot
+    projects the added column as NULL for pre-evolution files (metadata-only
+    evolution, no rewrite)."""
+    import pyspark.sql.types as T
+
+    from moonlink_spark.operators.alter import alter_table
+
+    t = create_images_table(spark, str(tmp_path / "tbl"), 300, seed=42)
+    dest = str(tmp_path / "out")
+    export_iceberg(t, dest)
+    first_sid = t.current_snapshot_id()
+
+    alter_table(t, add_columns=[T.StructField("score", T.DoubleType(), True)])
+    export_iceberg(t, dest)
+
+    meta = load_iceberg_metadata(dest)
+    assert len(meta["schemas"]) == 2
+    ids = [s["schema-id"] for s in meta["schemas"]]
+    assert len(set(ids)) == 2
+    names_by_id = {
+        s["schema-id"]: [f["name"] for f in s["fields"]] for s in meta["schemas"]
+    }
+    snap_ids = {s["snapshot-id"]: s["schema-id"] for s in meta["snapshots"]}
+    assert "score" not in names_by_id[snap_ids[first_sid]]
+    assert "score" in names_by_id[meta["current-schema-id"]]
+    assert meta["snapshots"][-1]["schema-id"] == meta["current-schema-id"]
+
+    # time travel through the mirror: pre-evolution snapshot → OLD columns
+    old = read_iceberg_scan(spark, dest, snapshot_id=first_sid)
+    assert "score" not in old.columns
+    assert old.count() == 300
+    # current snapshot: added column projects as NULL for pre-evolution files
+    cur = read_iceberg_scan(spark, dest)
+    assert "score" in cur.columns
+    assert cur.where("score IS NULL").count() == 300
+
+    # re-export after a data-only change REUSES the current schema-id
+    from pyspark.sql import functions as F
+
+    changes = generate_changes_df(spark, 300, 50, seed=42).withColumn(
+        "score", F.lit(None).cast("double")
+    )
+    merge_into(t, changes, run_id="m1")
+    export_iceberg(t, dest)
+    meta3 = load_iceberg_metadata(dest)
+    assert len(meta3["schemas"]) == 2
+    assert meta3["snapshots"][-1]["schema-id"] == meta3["current-schema-id"]
+
+
+def test_import_rejects_equality_deletes_and_partition_specs(spark, tmp_path):
+    """Up-front validation (round-4 ADVICE): equality-delete manifest
+    entries (content=2) and non-empty partition specs raise a clear error
+    instead of a confusing failure deep in the delete-file read."""
+    from moonlink_spark.iceberg import import_iceberg
+    from moonlink_spark.iceberg.reader import check_supported
+
+    t = create_images_table(spark, str(tmp_path / "tbl"), 100, seed=42)
+    dest = str(tmp_path / "out")
+    export_iceberg(t, dest)
+
+    # non-empty partition spec → rejected by both reader and importer
+    mdir = os.path.join(dest, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    mpath = os.path.join(mdir, f"v{v}.metadata.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"source-id": 1, "field-id": 1000, "name": "fmt", "transform": "identity"}
+    ]}]
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="partition"):
+        read_iceberg_scan(spark, dest)
+    with pytest.raises(ValueError, match="partition"):
+        import_iceberg(spark, dest, str(tmp_path / "adopted"))
+
+    # equality-delete entry → rejected with a clear message
+    with pytest.raises(ValueError, match="equality"):
+        from moonlink_spark.iceberg.reader import _reject_equality_deletes
+        _reject_equality_deletes(
+            {"content": 2, "file_path": "/x/eqdel.parquet"}, "manifest"
+        )

@@ -74,3 +74,39 @@ def test_streaming_json_ingest(spark, tmp_path):
     ingest_cdc_dir(t, jdir, str(tmp_path / "ckpt"), format="json")
     assert _rows(t) == _rows(twin)
     assert [s.operation for s in t.snapshots()].count("merge") == 1
+
+
+def test_nested_binary_column_roundtrip(spark, tmp_path):
+    """A BinaryType field nested inside a struct column (round-4 ADVICE):
+    the JSON read schema remaps it to string at depth and the post-scan
+    rebuild unbase64s it back, preserving NULL structs and sibling fields."""
+    import base64
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.sources.json_cdc import read_json_cdc
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("blob", T.StructType([
+            T.StructField("data", T.BinaryType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]), True),
+    ])
+    payload = base64.b64encode(b"\x00\xffbin").decode()
+    lines = "\n".join([
+        '{"op": "I", "lsn": 1, "id": "a", "blob": {"data": "%s", "n": 7}}' % payload,
+        '{"op": "I", "lsn": 2, "id": "b", "blob": null}',
+        '{"op": "I", "lsn": 3, "id": "c", "blob": {"data": null, "n": 9}}',
+    ])
+    p = tmp_path / "ev.jsonl"
+    p.write_text(lines)
+
+    df = read_json_cdc(spark, str(p), schema)
+    assert df.schema["blob"].dataType["data"].dataType == T.BinaryType()
+    rows = {r["id"]: r for r in df.collect()}
+    assert bytes(rows["a"]["blob"]["data"]) == b"\x00\xffbin"
+    assert rows["a"]["blob"]["n"] == 7
+    assert rows["b"]["blob"] is None
+    assert rows["c"]["blob"]["data"] is None and rows["c"]["blob"]["n"] == 9

@@ -277,6 +277,25 @@ def q_iceberg_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg_scan(spark, dest, columns=_NO_BYTES.split(", "))
 
 
+def q_iceberg_export_v3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 interop: same merge + export + spec-scan as
+    iceberg_export_scan but at format_version=3 — deletion vectors persist
+    as Puffin deletion-vector-v1 blobs (portable roaring64 bitmaps framed
+    len+magic+vector+CRC32, the reference's native DV form:
+    deletion_vector.rs:15-21, iceberg_table_syncer.rs:488-557), one blob
+    per referenced data file, decoded DISTRIBUTED by the spec reader and
+    anti-joined. Matching the LWW oracle proves the puffin mirror is a
+    self-describing v3 table."""
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.operators.merge import merge_into
+
+    t = _make_table(spark, sf_dir, "iceberg_v3")
+    merge_into(t, _changes_df(spark, sf_dir), run_id="m1")
+    dest = _fresh_root("iceberg_v3_out")
+    export_iceberg(t, dest, format_version=3)
+    return read_iceberg_scan(spark, dest, columns=_NO_BYTES.split(", "))
+
+
 def q_iceberg_import_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectional interop: export the post-merge snapshot as genuine
     Iceberg v2, then IMPORT it as a brand-new MoonTable (data in place,
@@ -1614,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "merge_cdc_lww": q_merge_cdc_lww,
         "iceberg_export_scan": q_iceberg_export_scan,
+        "iceberg_export_v3_scan": q_iceberg_export_v3_scan,
         "iceberg_import_scan": q_iceberg_import_scan,
         "rest_json_cdc_merge": q_rest_json_cdc_merge,
         "compact_small_files": q_compact_small_files,
@@ -1678,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "add_files_scan": base_images,
         "merge_cdc_lww": lww,
         "iceberg_export_scan": lww,
+        "iceberg_export_v3_scan": lww,
         "iceberg_import_scan": lww,
         "rest_json_cdc_merge": lww,
         "compact_small_files": lww,

@@ -146,6 +146,124 @@ def _write_pos_delete_parquet(
     return [r.asDict() for r in rows]
 
 
+def _write_puffin_dvs(
+    table, deletes_df, out_dir: str, snapshot_id: int, seq: int
+) -> list[dict]:
+    """Distributed conversion of the expanded (file_path, pos) delete rows
+    into Puffin deletion-vector-v1 blobs (Iceberg v3): binned by
+    hash(file_path) so each task serializes only its bin's bitmaps, one
+    puffin file per non-empty bin, one blob per referenced data file.
+    Mirrors the reference's DV persistence contract
+    (storage/table/iceberg/deletion_vector.rs:83-145,
+    iceberg_table_syncer.rs:488-557) re-expressed as a Spark job."""
+    import pyarrow as pa
+
+    from moonlink_spark.plans.physical import hash_bin
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_rows = deletes_df.count()
+    num_bins = max(1, n_rows // 4_000_000 + 1)
+
+    out_schema = pa.schema(
+        [
+            ("puffin_path", pa.string()),
+            ("puffin_size", pa.int64()),
+            ("referenced_file", pa.string()),
+            ("cardinality", pa.int64()),
+            ("offset", pa.int64()),
+            ("length", pa.int64()),
+        ]
+    )
+
+    def _write(batches):
+        import numpy as np
+        from pyspark import TaskContext
+
+        from moonlink_spark.iceberg.puffin import (
+            DELETION_VECTOR_V1,
+            dv_blob_bytes,
+            write_puffin,
+        )
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        blobs: list[dict] = []
+        cur_path = None
+        cur_pos: list = []
+
+        def _flush_file():
+            if cur_path is None:
+                return
+            pos = np.concatenate(cur_pos).astype(np.uint64)
+            blobs.append(
+                {
+                    "data": dv_blob_bytes(pos),
+                    "type": DELETION_VECTOR_V1,
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {
+                        "referenced-data-file": cur_path,
+                        "cardinality": str(len(np.unique(pos))),
+                    },
+                    "_referenced": cur_path,
+                    "_cardinality": len(np.unique(pos)),
+                }
+            )
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            paths = batch.column("file_path").to_numpy(zero_copy_only=False)
+            pos = batch.column("pos").to_numpy(zero_copy_only=False)
+            # rows arrive sorted by (file_path, pos): group boundaries are
+            # contiguous, a file's rows never interleave
+            bounds = np.nonzero(paths[1:] != paths[:-1])[0] + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(paths)]])
+            for s, e in zip(starts, ends):
+                p = paths[s]
+                if p != cur_path:
+                    _flush_file()
+                    cur_path = p
+                    cur_pos = []
+                cur_pos.append(pos[s:e])
+        _flush_file()
+        if not blobs:
+            return
+        path = os.path.join(out_dir, f"icedv-{snapshot_id}-{pid:05d}.puffin")
+        meta = write_puffin(
+            path, blobs, properties={"created-by": "moonlink_spark"}
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([path] * len(blobs)),
+                pa.array([meta["file_size"]] * len(blobs), pa.int64()),
+                pa.array([b["_referenced"] for b in blobs]),
+                pa.array([b["_cardinality"] for b in blobs], pa.int64()),
+                pa.array([m["offset"] for m in meta["blobs"]], pa.int64()),
+                pa.array([m["length"] for m in meta["blobs"]], pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    rows = (
+        deletes_df.select(
+            F.col("file_path").cast("string"), F.col("pos").cast("long")
+        )
+        .withColumn("_bin", hash_bin("file_path", num_bins))
+        .repartition(num_bins, "_bin")
+        .sortWithinPartitions("file_path", "pos")
+        .drop("_bin")
+        .mapInArrow(
+            _write,
+            schema="puffin_path string, puffin_size long, referenced_file string, "
+                   "cardinality long, offset long, length long",
+        )
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
 def _data_entry(f, schema_by_name, field_ids, snapshot_id: int, seq: int) -> dict:
     lower, upper = [], []
     for name, st in (f.stats or {}).items():
@@ -173,6 +291,29 @@ def _data_entry(f, schema_by_name, field_ids, snapshot_id: int, seq: int) -> dic
             "file_size_in_bytes": int(f.file_size_bytes),
             "lower_bounds": lower or None,
             "upper_bounds": upper or None,
+        },
+    }
+
+
+def _dv_entry(info: dict, snapshot_id: int, seq: int) -> dict:
+    """v3 manifest entry for one deletion-vector blob: content=1 pointing
+    INTO a puffin file (content_offset/content_size), one entry per
+    referenced data file."""
+    return {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 1,
+            "file_path": norm_path(info["puffin_path"]),
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": int(info["cardinality"]),
+            "file_size_in_bytes": int(info["puffin_size"]),
+            "referenced_data_file": norm_path(info["referenced_file"]),
+            "content_offset": int(info["offset"]),
+            "content_size_in_bytes": int(info["length"]),
         },
     }
 
@@ -210,6 +351,7 @@ def _write_manifests(
     tag: str,
     seq: int,
     schema_id: int = 0,
+    format_version: int = 2,
 ) -> list[dict]:
     """Write Avro manifests chunked at 25k entries; returns manifest-file
     descriptors for the manifest list."""
@@ -229,7 +371,7 @@ def _write_manifests(
                 "schema-id": str(schema_id).encode(),
                 "partition-spec": b"[]",
                 "partition-spec-id": b"0",
-                "format-version": b"2",
+                "format-version": str(format_version).encode(),
                 "content": content.encode(),
             },
         )
@@ -255,7 +397,11 @@ def _write_manifests(
 
 
 def export_iceberg(
-    table, dest_root: str, snapshot_id: int | None = None, pin_source: bool = True
+    table,
+    dest_root: str,
+    snapshot_id: int | None = None,
+    pin_source: bool = True,
+    format_version: int = 2,
 ) -> str:
     """Translate a snapshot into genuine Iceberg v2 metadata under
     *dest_root*; returns the metadata.json path. See module docstring for
@@ -275,7 +421,15 @@ def export_iceberg(
     *pin_source* (default) the exported snapshot is TAGGED on the source
     table (`iceberg-export-<sid>`): expiry retains it and the orphan sweep
     can never reclaim files the external mirror still references. Drop the
-    tag when the exported version is no longer needed."""
+    tag when the exported version is no longer needed.
+
+    *format_version*: 2 (default) writes position deletes as spec-schema
+    parquet; 3 writes them as Puffin deletion-vector-v1 blobs (roaring
+    bitmaps, one blob per referenced data file — the reference's native DV
+    form, deletion_vector.rs:15-21) with v3 row-lineage metadata. A dest
+    already exported at one version cannot be re-exported at the other."""
+    if format_version not in (2, 3):
+        raise ValueError(f"unsupported format_version {format_version}")
     meta = table.meta
     sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
     snap = meta.snapshot_by_id(sid)
@@ -304,6 +458,12 @@ def export_iceberg(
             prior_version = int(f.read().strip())
         with open(os.path.join(metadata_dir, f"v{prior_version}.metadata.json")) as f:
             prior = json.load(f)
+        if prior["format-version"] != format_version:
+            raise ValueError(
+                f"dest was exported at format-version "
+                f"{prior['format-version']}; cannot re-export at "
+                f"{format_version}"
+            )
         if prior["current-snapshot-id"] == exported_sid:
             return os.path.join(metadata_dir, f"v{prior_version}.metadata.json")
         if any(s["snapshot-id"] == exported_sid for s in prior["snapshots"]):
@@ -348,29 +508,37 @@ def export_iceberg(
         + ([prior["last-column-id"]] if prior else [])
     )
 
-    # ---- position deletes: bitmap DVs -> spec parquet --------------------
+    # ---- position deletes: bitmap DVs -> spec parquet (v2) / puffin (v3) -
     delete_infos: list[dict] = []
     if delete_files:
         deletes_df = table.read_delete_rows(delete_files)
         if deletes_df is not None:
-            delete_infos = _write_pos_delete_parquet(
-                table, deletes_df, data_dir, prefix=f"icedel-{exported_sid}"
-            )
+            if format_version >= 3:
+                delete_infos = _write_puffin_dvs(
+                    table, deletes_df, data_dir, exported_sid, delete_seq
+                )
+            else:
+                delete_infos = _write_pos_delete_parquet(
+                    table, deletes_df, data_dir, prefix=f"icedel-{exported_sid}"
+                )
 
     # ---- manifests + manifest list ---------------------------------------
     data_entries = [
         _data_entry(f, schema_by_name, field_ids, exported_sid, data_seq)
         for f in data_files
     ]
-    del_entries = [_delete_entry(i, exported_sid, delete_seq) for i in delete_infos]
+    if format_version >= 3:
+        del_entries = [_dv_entry(i, exported_sid, delete_seq) for i in delete_infos]
+    else:
+        del_entries = [_delete_entry(i, exported_sid, delete_seq) for i in delete_infos]
     manifests = _write_manifests(
         metadata_dir, data_entries, "data", schema_json,
-        f"{exported_sid}-data", data_seq, schema_id,
+        f"{exported_sid}-data", data_seq, schema_id, format_version,
     )
     if del_entries:
         manifests += _write_manifests(
             metadata_dir, del_entries, "deletes", schema_json,
-            f"{exported_sid}-del", delete_seq, schema_id,
+            f"{exported_sid}-del", delete_seq, schema_id, format_version,
         )
     for m in manifests:
         m["added_snapshot_id"] = exported_sid
@@ -382,7 +550,7 @@ def export_iceberg(
         MANIFEST_FILE_SCHEMA,
         manifests,
         metadata={
-            "format-version": b"2",
+            "format-version": str(format_version).encode(),
             "snapshot-id": str(exported_sid).encode(),
             "sequence-number": str(delete_seq).encode(),
         },
@@ -391,7 +559,9 @@ def export_iceberg(
     # ---- table metadata + version hint -----------------------------------
     now_ms = int(time.time() * 1000)
     total_records = sum(int(f.record_count) for f in data_files)
-    total_deletes = sum(int(i["record_count"]) for i in delete_infos)
+    total_deletes = sum(
+        int(i.get("record_count", i.get("cardinality", 0))) for i in delete_infos
+    )
     new_snapshot = {
         "snapshot-id": exported_sid,
         "parent-snapshot-id": prior["current-snapshot-id"] if prior else None,
@@ -407,10 +577,15 @@ def export_iceberg(
         },
         "schema-id": schema_id,
     }
+    if format_version >= 3:
+        # v3 row lineage: each snapshot records the first row-id it may
+        # assign; the table tracks the next unassigned id
+        first_row_id = prior.get("next-row-id", 0) if prior else 0
+        new_snapshot["first-row-id"] = first_row_id
     if new_snapshot["parent-snapshot-id"] is None:
         new_snapshot.pop("parent-snapshot-id")
     tmeta = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": (
             prior["table-uuid"]
             if prior
@@ -451,6 +626,8 @@ def export_iceberg(
             else []
         ),
     }
+    if format_version >= 3:
+        tmeta["next-row-id"] = new_snapshot["first-row-id"] + total_records
     new_version = prior_version + 1
     meta_path = os.path.join(metadata_dir, f"v{new_version}.metadata.json")
     with open(meta_path + ".tmp", "w") as f:

@@ -81,12 +81,18 @@ def import_iceberg(
 
     data_paths: list[str] = []
     delete_paths: list[str] = []
+    puffin_entries: list[dict] = []
     for m in _manifest_list_entries(spark, snap["manifest-list"]):
         for e in _manifest_entries(spark, m["manifest_path"]):
             if e["status"] == 2:
                 continue
             _reject_equality_deletes(e, snap["manifest-list"])
-            (data_paths if e["content"] == 0 else delete_paths).append(e["file_path"])
+            if e["content"] == 0:
+                data_paths.append(e["file_path"])
+            elif e.get("file_format") == "PUFFIN":
+                puffin_entries.append(e)
+            else:
+                delete_paths.append(e["file_path"])
 
     t = MoonTable.create(spark, dest_root, schema, key_columns=key_columns)
     # adopt the source's field ids (incl. nested) so evolution continues
@@ -103,10 +109,29 @@ def import_iceberg(
 
     t.add_files(data_paths, run_id="iceberg-import")
 
-    if delete_paths:
-        # spec position deletes -> bitmap DVs; file_path values are
-        # normalized the way our scanner reports them
-        dels = spark.read.parquet(*delete_paths).select(
+    if delete_paths or puffin_entries:
+        # spec position deletes (v2 parquet and/or v3 puffin DV blobs) ->
+        # bitmap DVs; file_path values are normalized the way our scanner
+        # reports them
+        parts = []
+        if delete_paths:
+            parts.append(
+                spark.read.parquet(*delete_paths).select(
+                    F.col("file_path").cast("string"), F.col("pos").cast("long")
+                )
+            )
+        if puffin_entries:
+            from moonlink_spark.iceberg.reader import puffin_delete_rows
+
+            parts.append(
+                puffin_delete_rows(spark, puffin_entries).select(
+                    F.col("_fp").alias("file_path"), F.col("_pos").alias("pos")
+                )
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        dels = dels.select(
             F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias("file_path"),
             F.col("pos").cast("long"),
         )
@@ -130,7 +155,7 @@ def import_iceberg(
             summary={
                 "imported-from": os.path.abspath(src_root),
                 "imported-position-deletes": n,
-                "imported-delete-files": len(delete_paths),
+                "imported-delete-files": len(delete_paths) + len(puffin_entries),
             },
         )
     return t

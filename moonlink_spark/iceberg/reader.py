@@ -63,6 +63,9 @@ def _manifest_list_entries(spark: SparkSession, path: str) -> list[dict]:
 
 
 def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
+    def _opt(v, conv):
+        return None if v is None else conv(v)
+
     try:
         out = []
         for r in read_avro_via_jvm(spark, path):
@@ -72,7 +75,13 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
                     "status": int(r.get("status")),
                     "content": int(df.get("content")),
                     "file_path": str(df.get("file_path")),
+                    "file_format": str(df.get("file_format")),
                     "record_count": int(df.get("record_count")),
+                    "referenced_data_file": _opt(df.get("referenced_data_file"), str),
+                    "content_offset": _opt(df.get("content_offset"), int),
+                    "content_size_in_bytes": _opt(
+                        df.get("content_size_in_bytes"), int
+                    ),
                 }
             )
         return out
@@ -85,7 +94,11 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
                 "status": r["status"],
                 "content": r["data_file"]["content"],
                 "file_path": r["data_file"]["file_path"],
+                "file_format": r["data_file"].get("file_format", "PARQUET"),
                 "record_count": r["data_file"]["record_count"],
+                "referenced_data_file": r["data_file"].get("referenced_data_file"),
+                "content_offset": r["data_file"].get("content_offset"),
+                "content_size_in_bytes": r["data_file"].get("content_size_in_bytes"),
             }
             for r in recs
         ]
@@ -119,7 +132,7 @@ def check_supported(meta: dict, table_root: str) -> None:
     files are rejected per-entry in the manifest walk) and non-identity /
     non-empty partition specs (partition pruning semantics would be
     silently lost)."""
-    if meta.get("format-version") != 2:
+    if meta.get("format-version") not in (2, 3):
         raise ValueError(
             f"unsupported Iceberg format-version "
             f"{meta.get('format-version')} at {table_root}"
@@ -144,6 +157,49 @@ def _reject_equality_deletes(entry: dict, source: str) -> None:
         )
 
 
+def puffin_delete_rows(spark: SparkSession, entries: list[dict]) -> DataFrame:
+    """Decode v3 Puffin deletion-vector blobs into (_fp, _pos) rows —
+    DISTRIBUTED: each executor task reads and CRC-checks only its blobs
+    (a 100 TB table's DV set never funnels through the driver)."""
+    rows = [
+        (
+            e["file_path"],
+            int(e["content_offset"]),
+            int(e["content_size_in_bytes"]),
+            e["referenced_data_file"],
+        )
+        for e in entries
+    ]
+
+    def _decode(batches):
+        import pyarrow as pa
+
+        from moonlink_spark.iceberg.puffin import dv_blob_positions, read_puffin_blob
+
+        for batch in batches:
+            for pp, off, ln, ref in zip(
+                batch.column("puffin_path").to_pylist(),
+                batch.column("offset").to_pylist(),
+                batch.column("length").to_pylist(),
+                batch.column("referenced").to_pylist(),
+            ):
+                pos = dv_blob_positions(read_puffin_blob(pp, off, ln))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([ref] * len(pos)),
+                        pa.array(pos.astype("int64")),
+                    ],
+                    names=["_fp", "_pos"],
+                )
+
+    df = spark.createDataFrame(
+        rows, "puffin_path string, offset long, length long, referenced string"
+    )
+    return df.repartition(min(max(len(rows), 1), 64)).mapInArrow(
+        _decode, "_fp string, _pos long"
+    )
+
+
 def read_iceberg_scan(
     spark: SparkSession,
     table_root: str,
@@ -159,6 +215,7 @@ def read_iceberg_scan(
 
     data_paths: list[str] = []
     delete_paths: list[str] = []
+    puffin_entries: list[dict] = []
     n_delete_rows = 0
     for m in _manifest_list_entries(spark, snap["manifest-list"]):
         for e in _manifest_entries(spark, m["manifest_path"]):
@@ -167,6 +224,9 @@ def read_iceberg_scan(
             _reject_equality_deletes(e, snap["manifest-list"])
             if e["content"] == 0:
                 data_paths.append(e["file_path"])
+            elif e.get("file_format") == "PUFFIN":
+                puffin_entries.append(e)
+                n_delete_rows += e["record_count"]
             else:
                 delete_paths.append(e["file_path"])
                 n_delete_rows += e["record_count"]
@@ -193,7 +253,7 @@ def read_iceberg_scan(
         ]
     )
     df = spark.read.schema(read_schema).parquet(*data_paths)
-    if not delete_paths:
+    if not delete_paths and not puffin_entries:
         return df.select(*cols)
 
     with_pos = df.select(
@@ -201,9 +261,18 @@ def read_iceberg_scan(
         F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    dels = spark.read.parquet(*delete_paths).select(
-        F.col("file_path").alias("_fp"), F.col("pos").alias("_pos")
-    )
+    del_parts = []
+    if delete_paths:
+        del_parts.append(
+            spark.read.parquet(*delete_paths).select(
+                F.col("file_path").alias("_fp"), F.col("pos").alias("_pos")
+            )
+        )
+    if puffin_entries:
+        del_parts.append(puffin_delete_rows(spark, puffin_entries))
+    dels = del_parts[0]
+    for part in del_parts[1:]:
+        dels = dels.unionByName(part)
     if n_delete_rows <= _BROADCAST_DELETE_ROWS:
         dels = F.broadcast(dels)
     else:

@@ -107,6 +107,26 @@ def manifest_entry_schema() -> dict:
                 "default": None,
                 "field-id": 128,
             },
+            # v3 deletion-vector fields (optional, null for v2 entries):
+            # the puffin blob a DV entry points into
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 145,
+            },
         ],
     }
     return {

@@ -372,3 +372,150 @@ def test_import_rejects_equality_deletes_and_partition_specs(spark, tmp_path):
         _reject_equality_deletes(
             {"content": 2, "file_path": "/x/eqdel.parquet"}, "manifest"
         )
+
+
+# ---------------------------------------------------------------- puffin v3
+def test_roaring64_roundtrip_and_java_reference(spark):
+    """Portable 64-bit roaring serialization: python round-trip over array
+    containers, bitmap containers (card>4096) and multiple high-32 buckets,
+    then cross-validated against the RoaringBitmap JAVA reference library
+    (org.roaringbitmap on Spark's classpath) — an independent decoder for
+    our bytes, like the Avro Java check."""
+    import numpy as np
+
+    from moonlink_spark.iceberg.puffin import (
+        deserialize_roaring64,
+        serialize_roaring64,
+    )
+
+    rng = np.random.default_rng(11)
+    pos = np.concatenate([
+        rng.choice(100_000, size=60_000, replace=False),     # bitmap containers
+        rng.integers(1 << 33, (1 << 33) + 5000, size=300),   # second bucket
+        np.array([0, 65535, 65536, (1 << 32) - 1, 1 << 32, (1 << 40) + 7]),
+    ]).astype(np.uint64)
+    ser = serialize_roaring64(pos)
+    assert np.array_equal(deserialize_roaring64(ser), np.unique(pos))
+
+    jvm = spark.sparkContext._jvm
+    dis = jvm.java.io.DataInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(ser))
+    )
+    rb = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rb.deserializePortable(dis)
+    assert rb.getLongCardinality() == len(np.unique(pos))
+    it = rb.iterator()
+    got = []
+    while it.hasNext():
+        got.append(it.next())
+    assert np.array_equal(
+        np.sort(np.array(got, dtype=np.int64).astype(np.uint64)), np.unique(pos)
+    )
+
+
+def test_dv_blob_framing_and_corruption():
+    """deletion-vector-v1 blob framing: len(4 BE) + magic D1D33964 +
+    vector + CRC-32(4 BE); decode rejects bad magic, bad length, bad CRC
+    (reference framing: deletion_vector.rs:83-145)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from moonlink_spark.iceberg.puffin import dv_blob_bytes, dv_blob_positions
+
+    pos = np.array([1, 5, 9, 1 << 33], dtype=np.uint64)
+    blob = dv_blob_bytes(pos)
+    (combined,) = struct.unpack_from(">I", blob, 0)
+    assert blob[4:8] == bytes([0xD1, 0xD3, 0x39, 0x64])
+    assert len(blob) == 4 + combined + 4
+    assert np.array_equal(dv_blob_positions(blob), pos)
+
+    with pytest.raises(ValueError, match="magic"):
+        dv_blob_positions(blob[:4] + b"XXXX" + blob[8:])
+    with pytest.raises(ValueError, match="length"):
+        dv_blob_positions(blob + b"\x00")
+    corrupted = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        dv_blob_positions(corrupted)
+
+
+def test_puffin_file_layout(tmp_path):
+    """Puffin container: PFA1 header, footer payload JSON with blob
+    offsets/lengths, 4-LE payload size, zero flags, trailing PFA1."""
+    from moonlink_spark.iceberg.puffin import (
+        read_puffin_blob,
+        read_puffin_footer,
+        write_puffin,
+    )
+
+    p = str(tmp_path / "t.puffin")
+    blobs = [
+        {"data": b"abc", "type": "deletion-vector-v1", "snapshot-id": 7,
+         "sequence-number": 2, "properties": {"referenced-data-file": "/d1",
+                                              "cardinality": "3"}},
+        {"data": b"defgh", "type": "deletion-vector-v1", "snapshot-id": 7,
+         "sequence-number": 2, "properties": {"referenced-data-file": "/d2",
+                                              "cardinality": "5"}},
+    ]
+    meta = write_puffin(p, blobs)
+    with open(p, "rb") as f:
+        raw = f.read()
+    assert raw[:4] == b"PFA1" and raw[-4:] == b"PFA1"
+    ftr = read_puffin_footer(p)
+    assert [b["properties"]["referenced-data-file"] for b in ftr["blobs"]] == ["/d1", "/d2"]
+    assert read_puffin_blob(p, ftr["blobs"][0]["offset"], ftr["blobs"][0]["length"]) == b"abc"
+    assert read_puffin_blob(p, ftr["blobs"][1]["offset"], ftr["blobs"][1]["length"]) == b"defgh"
+    assert meta["file_size"] == len(raw)
+
+
+def test_export_v3_puffin_scan_and_import(spark, tmp_path):
+    """format_version=3: DVs land as puffin deletion-vector-v1 blobs, the
+    manifest entries carry referenced_data_file/content_offset/
+    content_size_in_bytes, v3 row-lineage fields are present, the spec
+    reader's scan hash-matches the native scan, and import adopts the
+    puffin DVs back into bitmap DVs. Mixing versions on one dest is
+    rejected."""
+    import glob
+
+    from moonlink_spark.iceberg import import_iceberg
+    from moonlink_spark.iceberg.puffin import read_puffin_footer
+
+    t = create_images_table(spark, str(tmp_path / "tbl"), 500, seed=42)
+    merge_into(t, generate_changes_df(spark, 500, 120, seed=42), run_id="m1")
+    assert t.delete_files()
+    dest = str(tmp_path / "ice3")
+    p = export_iceberg(t, dest, format_version=3)
+
+    meta = load_iceberg_metadata(dest)
+    assert meta["format-version"] == 3
+    assert "next-row-id" in meta
+    assert "first-row-id" in meta["snapshots"][-1]
+    puffins = glob.glob(os.path.join(dest, "data", "*.puffin"))
+    assert puffins
+    ftr = read_puffin_footer(puffins[0])
+    for b in ftr["blobs"]:
+        assert b["type"] == "deletion-vector-v1"
+        assert "referenced-data-file" in b["properties"]
+        assert int(b["properties"]["cardinality"]) > 0
+
+    ice = read_iceberg_scan(spark, dest, columns=COLS)
+    native = t.scan(columns=COLS)
+    assert ice.count() == native.count()
+    assert ice.exceptAll(native).count() == 0
+
+    t2 = import_iceberg(spark, dest, str(tmp_path / "adopted3"))
+    b = t2.scan(columns=COLS)
+    assert b.count() == native.count()
+    assert b.exceptAll(native).count() == 0
+
+    # a v3 dest cannot be silently continued as v2 (and vice versa)
+    merge_into(t, generate_changes_df(spark, 500, 40, seed=42,
+                                      lsn_start=9_000_000), run_id="m2")
+    with pytest.raises(ValueError, match="format-version"):
+        export_iceberg(t, dest, format_version=2)
+    # same-version re-export still works (versioned evolution)
+    p2 = export_iceberg(t, dest, format_version=3)
+    assert p2.endswith("v2.metadata.json")
+    ice2 = read_iceberg_scan(spark, dest, columns=COLS)
+    assert ice2.count() == t.scan().count()

@@ -296,6 +296,48 @@ def q_iceberg_export_v3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg_scan(spark, dest, columns=_NO_BYTES.split(", "))
 
 
+def q_list_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/array + map columns end-to-end (reference type surface:
+    rest_ingest/schema_util.rs:75-180 accepts list|array; RowValue::Array
+    in row/moonlink_type.rs:6-21): build a table with array<string> and
+    map<string,long> columns over `documents`, append → Iceberg export
+    (schema JSON carries element-id/key-id/value-id from the ledger's
+    synthetic sub-paths) → IMPORT → scan the adopted table. The output
+    projects the nested values to scalars so the oracle compare stays
+    exact; matching proves the full round trip preserved the collections."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg import export_iceberg, import_iceberg
+    from moonlink_spark.table import MoonTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+            T.StructField("attrs", T.MapType(T.StringType(), T.LongType(), True), True),
+        ]
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = docs.select(
+        F.col("doc_id"),
+        F.array("lang", "source").alias("tags"),
+        F.create_map(F.lit("n_chars"), F.col("n_chars")).alias("attrs"),
+    )
+    t = MoonTable.create(spark, _fresh_root("list_rt"), schema, key_columns=["doc_id"])
+    t.append(df, run_id="a1")
+    dest = _fresh_root("list_rt_ice")
+    export_iceberg(t, dest)
+    t2 = import_iceberg(spark, dest, _fresh_root("list_rt_adopt"))
+    return t2.scan().select(
+        "doc_id",
+        F.array_join("tags", ",").alias("tags_csv"),
+        F.size("tags").alias("n_tags"),
+        F.element_at("tags", 1).alias("first_tag"),
+        F.col("attrs")["n_chars"].alias("n_chars"),
+    )
+
+
 def q_iceberg_import_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectional interop: export the post-merge snapshot as genuine
     Iceberg v2, then IMPORT it as a brand-new MoonTable (data in place,
@@ -1634,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_cdc_lww": q_merge_cdc_lww,
         "iceberg_export_scan": q_iceberg_export_scan,
         "iceberg_export_v3_scan": q_iceberg_export_v3_scan,
+        "list_column_roundtrip": q_list_column_roundtrip,
         "iceberg_import_scan": q_iceberg_import_scan,
         "rest_json_cdc_merge": q_rest_json_cdc_merge,
         "compact_small_files": q_compact_small_files,
@@ -1699,6 +1742,10 @@ def oracle_sql() -> dict[str, str]:
         "merge_cdc_lww": lww,
         "iceberg_export_scan": lww,
         "iceberg_export_v3_scan": lww,
+        "list_column_roundtrip": (
+            "SELECT doc_id, lang || ',' || source AS tags_csv, 2 AS n_tags, "
+            "lang AS first_tag, n_chars FROM documents"
+        ),
         "iceberg_import_scan": lww,
         "rest_json_cdc_merge": lww,
         "compact_small_files": lww,

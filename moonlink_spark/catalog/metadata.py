@@ -154,24 +154,37 @@ class TableMetadata:
         return meta
 
 
+def type_children(dt) -> list[tuple[str, Any]]:
+    """The named child slots of a Spark type, Iceberg-style: struct fields
+    by name, list element as `element`, map sides as `key`/`value`. The
+    synthetic names can never collide with struct-field paths (an array or
+    map has no named fields of its own)."""
+    import pyspark.sql.types as T
+
+    if isinstance(dt, T.StructType):
+        return [(f.name, f.dataType) for f in dt.fields]
+    if isinstance(dt, T.ArrayType):
+        return [("element", dt.elementType)]
+    if isinstance(dt, T.MapType):
+        return [("key", dt.keyType), ("value", dt.valueType)]
+    return []
+
+
 def schema_paths(schema) -> list[tuple[str, Any]]:
     """All field paths of a Spark StructType in DFS order, as (dotted-path,
     dataType) pairs — nested STRUCT fields get their own path entries
-    (`meta` and `meta.w`), which is what lets the field-id ledger track
-    add/drop at any depth (the reference round-trips PARQUET:field_id for
-    nested fields too, rest_ingest/schema_util.rs:75-180,
-    iceberg_table_manager.rs:88-89). List/map element types are treated as
-    part of their column's type (no per-element evolution)."""
-    import pyspark.sql.types as T
-
+    (`meta` and `meta.w`), and list/map columns get synthetic sub-entries
+    (`tags.element`, `attrs.key`, `attrs.value`) so the field-id ledger can
+    carry the element/key/value ids Iceberg schemas require
+    (rest_ingest/schema_util.rs:75-180 accepts list|array;
+    iceberg_table_manager.rs:88-89 round-trips ids at any depth)."""
     out: list[tuple[str, Any]] = []
 
-    def _walk(st, prefix: str) -> None:
-        for f in st.fields:
-            p = prefix + f.name
-            out.append((p, f.dataType))
-            if isinstance(f.dataType, T.StructType):
-                _walk(f.dataType, p + ".")
+    def _walk(dt, prefix: str) -> None:
+        for name, child in type_children(dt):
+            p = prefix + name
+            out.append((p, child))
+            _walk(child, p + ".")
 
     _walk(schema, "")
     return out

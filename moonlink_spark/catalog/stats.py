@@ -21,8 +21,15 @@ def _file_stats(paths: Iterator[str]) -> Iterator[tuple[str, str]]:
         md = pf.metadata
         schema = pf.schema_arrow
         stats: dict[str, dict] = {}
-        for ci, name in enumerate(md.schema.names):
-            if schema.field(ci).type == "binary":
+        for ci in range(md.num_columns):
+            # md indexes PHYSICAL leaf columns; a list/map/struct column
+            # fans out to several leaves whose path_in_schema is dotted —
+            # only top-level primitive columns carry scalar min/max stats
+            name = md.schema.column(ci).path
+            if "." in name:
+                continue
+            fi = schema.get_field_index(name)
+            if fi == -1 or schema.field(fi).type == "binary":
                 continue
             mn, mx, nulls = None, None, 0
             for rg in range(md.num_row_groups):

@@ -47,8 +47,27 @@ def _adopt_ids(fields: list[dict], prefix: str = "") -> dict[str, int]:
     for f in fields:
         path = prefix + f["name"]
         ids[path] = int(f["id"])
-        if isinstance(f["type"], dict) and f["type"].get("type") == "struct":
-            ids.update(_adopt_ids(f["type"]["fields"], path + "."))
+        ids.update(_adopt_type_ids(f["type"], path))
+    return ids
+
+
+def _adopt_type_ids(t, path: str) -> dict[str, int]:
+    """Nested slot ids: struct fields recurse; list element-id and map
+    key-id/value-id land under the ledger's synthetic sub-paths."""
+    ids: dict[str, int] = {}
+    if not isinstance(t, dict):
+        return ids
+    kind = t.get("type")
+    if kind == "struct":
+        ids.update(_adopt_ids(t["fields"], path + "."))
+    elif kind == "list":
+        ids[path + ".element"] = int(t["element-id"])
+        ids.update(_adopt_type_ids(t["element"], path + ".element"))
+    elif kind == "map":
+        ids[path + ".key"] = int(t["key-id"])
+        ids.update(_adopt_type_ids(t["key"], path + ".key"))
+        ids[path + ".value"] = int(t["value-id"])
+        ids.update(_adopt_type_ids(t["value"], path + ".value"))
     return ids
 
 

@@ -173,6 +173,35 @@ def iceberg_type(dt: T.DataType):
     raise ValueError(f"unsupported Spark type for Iceberg export: {dt}")
 
 
+def iceberg_type_with_ids(dt: T.DataType, field_ids: dict[str, int], path: str):
+    """Spark type → Iceberg schema-JSON type carrying the ledger's ids for
+    nested slots (struct fields, list element-id, map key-id/value-id)."""
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": iceberg_schema_fields(dt, field_ids, [], path + "."),
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": int(field_ids[path + ".element"]),
+            "element": iceberg_type_with_ids(
+                dt.elementType, field_ids, path + ".element"
+            ),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": int(field_ids[path + ".key"]),
+            "key": iceberg_type_with_ids(dt.keyType, field_ids, path + ".key"),
+            "value-id": int(field_ids[path + ".value"]),
+            "value": iceberg_type_with_ids(dt.valueType, field_ids, path + ".value"),
+            "value-required": not dt.valueContainsNull,
+        }
+    return iceberg_type(dt)
+
+
 def spark_type(t) -> T.DataType:
     """Iceberg schema-JSON type → Spark type (inverse of iceberg_type)."""
     if isinstance(t, dict):
@@ -182,6 +211,16 @@ def spark_type(t) -> T.DataType:
                     T.StructField(f["name"], spark_type(f["type"]), not f.get("required"))
                     for f in t["fields"]
                 ]
+            )
+        if t.get("type") == "list":
+            return T.ArrayType(
+                spark_type(t["element"]), not t.get("element-required")
+            )
+        if t.get("type") == "map":
+            return T.MapType(
+                spark_type(t["key"]),
+                spark_type(t["value"]),
+                not t.get("value-required"),
             )
         raise ValueError(f"unsupported Iceberg type: {t}")
     mapping = {
@@ -214,21 +253,12 @@ def iceberg_schema_fields(
     out = []
     for f in schema.fields:
         path = prefix + f.name
-        if isinstance(f.dataType, T.StructType):
-            typ: object = {
-                "type": "struct",
-                "fields": iceberg_schema_fields(
-                    f.dataType, field_ids, [], path + "."
-                ),
-            }
-        else:
-            typ = iceberg_type(f.dataType)
         out.append(
             {
                 "id": int(field_ids[path]),
                 "name": f.name,
                 "required": path in key_columns or (prefix == "" and not f.nullable),
-                "type": typ,
+                "type": iceberg_type_with_ids(f.dataType, field_ids, path),
             }
         )
     return out
@@ -245,8 +275,31 @@ def name_mapping(
     for f in schema.fields:
         path = prefix + f.name
         entry: dict = {"field-id": int(field_ids[path]), "names": [f.name]}
-        if isinstance(f.dataType, T.StructType):
-            entry["fields"] = name_mapping(f.dataType, field_ids, path + ".")
+        sub = _nested_mapping(f.dataType, field_ids, path)
+        if sub:
+            entry["fields"] = sub
+        out.append(entry)
+    return out
+
+
+def _nested_mapping(dt: T.DataType, field_ids: dict[str, int], path: str) -> list[dict]:
+    """Name-mapping child entries: struct fields by name, list `element`,
+    map `key`/`value` (the spec's canonical names for those slots)."""
+    if isinstance(dt, T.StructType):
+        return name_mapping(dt, field_ids, path + ".")
+    out = []
+    if isinstance(dt, T.ArrayType):
+        slots = [("element", dt.elementType)]
+    elif isinstance(dt, T.MapType):
+        slots = [("key", dt.keyType), ("value", dt.valueType)]
+    else:
+        return out
+    for name, child in slots:
+        p = f"{path}.{name}"
+        entry: dict = {"field-id": int(field_ids[p]), "names": [name]}
+        sub = _nested_mapping(child, field_ids, p)
+        if sub:
+            entry["fields"] = sub
         out.append(entry)
     return out
 

@@ -108,8 +108,7 @@ def alter_table(
         leaf = T.StructField(parts[-1], f.dataType, True, f.metadata)
         new_schema = _add_at(new_schema, parts[:-1], leaf, f.name)
         live.add(f.name)
-        if isinstance(f.dataType, T.StructType):
-            live.update(f"{f.name}.{sub}" for sub, _ in schema_paths(f.dataType))
+        live.update(f"{f.name}.{sub}" for sub, _ in schema_paths(f.dataType))
 
     meta.schema_json = new_schema.json()
     # field-id ledger over DOTTED PATHS: drops RETIRE the id (and every
@@ -127,10 +126,11 @@ def alter_table(
     for f in add_columns:
         meta.field_ids[f.name] = meta.next_field_id
         meta.next_field_id += 1
-        if isinstance(f.dataType, T.StructType):
-            for sub, _ in schema_paths(f.dataType):
-                meta.field_ids[f"{f.name}.{sub}"] = meta.next_field_id
-                meta.next_field_id += 1
+        # fresh ids for every nested slot of the added type — struct
+        # fields AND list element / map key/value sub-paths
+        for sub, _ in schema_paths(f.dataType):
+            meta.field_ids[f"{f.name}.{sub}"] = meta.next_field_id
+            meta.next_field_id += 1
     table.catalog.commit(meta, expected_version=version)
     # force an (empty-change) snapshot carrying the schema update, mirroring
     # moonlink's "force empty iceberg snapshot w/ schema update"

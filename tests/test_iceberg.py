@@ -519,3 +519,61 @@ def test_export_v3_puffin_scan_and_import(spark, tmp_path):
     assert p2.endswith("v2.metadata.json")
     ice2 = read_iceberg_scan(spark, dest, columns=COLS)
     assert ice2.count() == t.scan().count()
+
+
+def test_list_map_columns_roundtrip_and_evolution(spark, tmp_path):
+    """array<string>/map<string,long> columns end-to-end: ledger carries
+    element/key/value sub-ids, the exported schema JSON declares
+    element-id/key-id/value-id, name-mapping covers the nested slots,
+    export→import adopts identical ids, and alter add/drop of a list
+    column assigns/retires sub-ids (schema_util.rs:75-180 type surface)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg import import_iceberg
+    from moonlink_spark.operators.alter import alter_table
+    from moonlink_spark.table import MoonTable
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.LongType(), True), True),
+    ])
+    t = MoonTable.create(spark, str(tmp_path / "t"), schema, key_columns=["id"])
+    assert {"tags.element", "attrs.key", "attrs.value"} <= set(t.meta.field_ids)
+
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        F.array(F.lit("a"), F.concat(F.lit("t"), F.col("id"))).alias("tags"),
+        F.create_map(F.lit("n"), F.col("id")).alias("attrs"),
+    )
+    t.append(df, run_id="a1")
+
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    meta = load_iceberg_metadata(dest)
+    by_name = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    assert by_name["tags"]["type"]["type"] == "list"
+    assert by_name["tags"]["type"]["element-id"] == t.meta.field_ids["tags.element"]
+    assert by_name["attrs"]["type"]["key-id"] == t.meta.field_ids["attrs.key"]
+    assert by_name["attrs"]["type"]["value-id"] == t.meta.field_ids["attrs.value"]
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    tags_entry = next(m for m in nm if m["names"] == ["tags"])
+    assert tags_entry["fields"][0]["names"] == ["element"]
+
+    ice = read_iceberg_scan(spark, dest)
+    r = {x["id"]: x for x in ice.collect()}
+    assert r["k3"]["tags"] == ["a", "t3"] and r["k3"]["attrs"]["n"] == 3
+
+    t2 = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    assert t2.meta.field_ids == t.meta.field_ids
+    assert t2.scan().count() == 100
+
+    # evolution: add a new list column (fresh sub-id), drop the old one
+    alter_table(t, add_columns=[T.StructField("labels", T.ArrayType(T.LongType(), True), True)])
+    assert "labels.element" in t.meta.field_ids
+    alter_table(t, drop_columns=["tags"])
+    assert "tags.element" not in t.meta.field_ids
+    got = t.scan()
+    assert "tags" not in got.columns
+    assert got.filter(F.col("labels").isNotNull()).count() == 0

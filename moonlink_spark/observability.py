@@ -90,3 +90,48 @@ def rollup_stage_metrics(table: MoonTable, persist: bool = True) -> dict:
         with open(os.path.join(mdir, "rollup_history.jsonl"), "a") as f:
             f.write(json.dumps({"ts": time.time(), "rollup": rollup}) + "\n")
     return rollup
+
+
+def load_rollup(table: MoonTable) -> dict | None:
+    """The last persisted rollup (None before the first)."""
+    p = os.path.join(table.catalog.metadata_dir, "metrics", "rollup.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def detect_drift(
+    prev: dict | None,
+    cur: dict,
+    ratio: float = 1.5,
+    min_sec: float = 0.05,
+) -> list[dict]:
+    """Stages whose p95 grew by ≥ *ratio* since the previous rollup — the
+    signal a policy loop watches to flag a slowing maintenance stage
+    (growing DV overhead, skewing cluster bins, manifest bloat). Stages
+    under *min_sec* are ignored as noise."""
+    if not prev:
+        return []
+    out: list[dict] = []
+    for op, stages in cur.items():
+        for stage, st in stages.items():
+            before = prev.get(op, {}).get(stage)
+            if not before:
+                continue
+            if st["p95"] >= min_sec and before["p95"] > 0 and (
+                st["p95"] / before["p95"] >= ratio
+            ):
+                out.append(
+                    {
+                        "op": op,
+                        "stage": stage,
+                        "prev_p95": before["p95"],
+                        "p95": st["p95"],
+                        "ratio": round(st["p95"] / before["p95"], 2),
+                    }
+                )
+    return sorted(out, key=lambda d: -d["ratio"])

@@ -36,11 +36,14 @@ the same quarantine/purge cycle as data files.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import time
 
 from pyspark.sql import DataFrame, functions as F
+
+_LOG = logging.getLogger("moonlink_spark.expire")
 
 from moonlink_spark.catalog.metadata import norm_path
 from moonlink_spark.table import MoonTable
@@ -128,6 +131,11 @@ def _listing_batches(data_dir: str):
 # listing shards for the distributed path: one executor task per shard
 _LIST_SHARDS = 64
 
+# max orphan paths returned to the caller as audit output on the
+# distributed path (the true acted count is logged; the mutation itself
+# never needs the full list on the driver)
+_AUDIT_SAMPLE_MAX = 10_000
+
 
 def _distributed_listing_df(spark, data_dir: str) -> DataFrame:
     """List the data directory IN EXECUTOR TASKS, sharded by filename hash:
@@ -175,7 +183,10 @@ def sweep_orphans(
     the maintenance lock), so it defaults to a 5-minute grace; production
     should use hours (Iceberg's remove_orphan_files defaults to 3 days,
     as jobs/maintain.py does). Pass 0 only in deterministic single-writer
-    tests. Returns the paths acted on."""
+    tests. Returns the paths acted on — on the distributed path (above
+    _DRIVER_SWEEP_MAX listed files) a sample capped at _AUDIT_SAMPLE_MAX,
+    with the true acted count logged; the full list never passes through
+    the driver."""
     spark = table.spark
     cutoff = time.time() - older_than_seconds
     grace = older_than_seconds
@@ -232,22 +243,32 @@ def sweep_orphans(
             fs_df.join(reach_df, "path", "left_anti") if reach_df is not None else fs_df
         )
 
-        def _act(rows):
-            for r in rows:
-                _act_one(r["path"])
+        # ONE distributed pass does both the DELETE/MOVE and the audit:
+        # each shard acts on its orphans and reports (count, capped
+        # sample). The driver never materializes the full orphan list — at
+        # a million-orphan object-store sweep that list is executor-sized
+        # state the mutation path doesn't need.
+        per_shard = max(1, _AUDIT_SAMPLE_MAX // _LIST_SHARDS)
 
-        # the DELETE/MOVE is executed on the executors (parallel, shared fs);
-        # the collected path list is audit output, not the mutation path.
-        # persist so the audit collect and the mutation pass share one
-        # computation of the anti-join
-        orphans_df = orphans_df.persist()
-        acted_paths = [r["path"] for r in orphans_df.collect()]
-        if acted_paths:
-            orphans_df.foreachPartition(_act)
-        orphans_df.unpersist()
-        if older_than_seconds > 0:
-            acted_paths = [p for p in acted_paths if _mtime_before(p, cutoff, missing_ok=True)]
-        acted.extend(acted_paths)
+        def _act_and_audit(rows):
+            n = 0
+            sample: list[str] = []
+            for r in rows:
+                if _act_one(r["path"]):
+                    n += 1
+                    if len(sample) < per_shard:
+                        sample.append(r["path"])
+            yield (n, sample)
+
+        shard_reports = orphans_df.rdd.mapPartitions(_act_and_audit).collect()
+        n_acted = sum(n for n, _ in shard_reports)
+        sampled = [p for _, s in shard_reports for p in s][:_AUDIT_SAMPLE_MAX]
+        if n_acted > len(sampled):
+            _LOG.info(
+                "orphan sweep acted on %d files; audit sample capped at %d",
+                n_acted, len(sampled),
+            )
+        acted.extend(sampled)
 
     if not quarantine and os.path.isdir(qdir):
         # purge phase: anything parked by a previous quarantine pass

@@ -78,7 +78,11 @@ class Warehouse:
         from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
         from moonlink_spark.streaming.ingest import MaintenancePolicy, maybe_maintain
 
-        from moonlink_spark.observability import rollup_stage_metrics
+        from moonlink_spark.observability import (
+            detect_drift,
+            load_rollup,
+            rollup_stage_metrics,
+        )
 
         policy = policy or MaintenancePolicy()
         run_id = run_id or uuid.uuid4().hex[:12]
@@ -98,7 +102,11 @@ class Warehouse:
                 )
             # cross-run stage observability: per-op p50/p95 over every
             # retained lineage record, persisted under metadata/metrics/
-            # (observability/iceberg_persistence.rs:61-81 analog)
+            # (observability/iceberg_persistence.rs:61-81 analog); stages
+            # whose p95 grew >=1.5x since the previous sweep are flagged so
+            # the policy loop sees a slowing stage without scraping lineage
+            prev_rollup = load_rollup(t)
             entry["stage_metrics"] = rollup_stage_metrics(t)
+            entry["stage_drift"] = detect_drift(prev_rollup, entry["stage_metrics"])
             report[name] = entry
         return report

@@ -114,3 +114,74 @@ def test_mirror_pin_rotation(spark, tmp_table_root, tmp_path):
                    max_files_per_trigger=1, maintenance=policy)
     pins = [n for n in t.refs() if n.startswith("iceberg-export-")]
     assert len(pins) == 2  # 3 epochs exported, oldest pin rotated out
+
+
+def test_mirror_retention_swept_old_version_fails_pinned_survives(
+    spark, tmp_table_root, tmp_path
+):
+    """Round-4 VERDICT item 8 — the mirror-retention trade-off end-to-end:
+    after pin rotation (mirror_keep_pins=1), expire + sweep may reclaim
+    files an OLD mirror version references — scanning that version through
+    the spec reader fails (cleanly, with an error, not wrong rows) — while
+    the still-pinned newest version keeps scanning correctly.
+
+    The trade-off only bites when maintenance REWRITES files between
+    exports (without a rewrite every old version references a subset of
+    the newest version's cumulative file set and stays scannable), so the
+    scenario interposes a full optimize between mirror versions."""
+    import pytest
+
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.iceberg.reader import load_iceberg_metadata
+    from moonlink_spark.operators.expire import expire_snapshots, sweep_orphans
+    from moonlink_spark.operators.optimize import optimize
+
+    t = create_images_table(spark, tmp_table_root, N, seed=42)
+    stage = os.path.join(str(tmp_path), "stage")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    mirror = os.path.join(str(tmp_path), "mirror")
+    for i, (n, lsn) in enumerate([(80, 1_000), (60, 2_000_000)]):
+        generate_changes_df(spark, N, n, seed=42, lsn_start=lsn).coalesce(1).write.parquet(
+            stage, mode="append" if i else "overwrite"
+        )
+    policy = MaintenancePolicy(
+        cluster_by=BY, max_unclustered_files=10**9,  # sync only
+        iceberg_mirror=mirror, mirror_keep_pins=1,
+    )
+    ingest_cdc_dir(t, stage, ckpt, max_files_per_trigger=1, maintenance=policy)
+
+    # a full optimize rewrites every data file, then the next mirror
+    # version is exported and — as the stream loop would at
+    # mirror_keep_pins=1 — the older export pins rotate out
+    optimize(t, mode="full", cluster_by=BY, run_id="turnover")
+    export_iceberg(t, mirror)
+    pins = sorted(
+        (sid, name) for name, sid in t.refs().items()
+        if name.startswith("iceberg-export-")
+    )
+    for _, name in pins[:-1]:
+        t.drop_tag(name)
+
+    meta = load_iceberg_metadata(mirror)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert len(sids) == 3
+    assert [n for n in t.refs() if n.startswith("iceberg-export-")] == [
+        f"iceberg-export-{sids[-1]}"
+    ]
+
+    # retention: keep only the pinned newest snapshot, then sweep
+    expire_snapshots(t, retain_last=1)
+    swept = sweep_orphans(t, quarantine=False, older_than_seconds=0)
+    assert swept  # the pre-optimize files really were reclaimed
+
+    # the pinned (newest) mirror version still scans and matches native
+    cols = ["image_id", "caption", "phash"]
+    ice = read_iceberg_scan(spark, mirror, columns=cols)
+    native = t.scan(columns=cols)
+    assert ice.count() == native.count()
+    assert ice.exceptAll(native).count() == 0
+
+    # an old, pin-rotated mirror version lost files to the sweep: the scan
+    # fails with an error — never silently returns a partial result
+    with pytest.raises(Exception):
+        read_iceberg_scan(spark, mirror, columns=cols, snapshot_id=sids[0]).count()

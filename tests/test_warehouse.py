@@ -73,3 +73,46 @@ def test_stage_metrics_rollup(spark, tmp_path):
     assert os.path.exists(
         os.path.join(t.catalog.metadata_dir, "metrics", "rollup.json")
     )
+
+
+def test_stage_drift_detection_on_synthetic_lineage(spark, tmp_path):
+    """Round-4 VERDICT item 9: maintain_all flags a slowing stage. First
+    sweep establishes the baseline rollup; lineage then gains runs whose
+    merge stage is 3x slower; the next sweep's report lists that stage in
+    stage_drift (and only that stage)."""
+    import json
+    import os
+
+    from moonlink_spark.observability import detect_drift, load_rollup
+    from moonlink_spark.sources.fixtures import create_images_table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("t1", IMAGES_SCHEMA, key_columns=["image_id"])
+    t.append(generate_images_df(spark, 200, seed=42), run_id="base")
+
+    def _plant(run_id: str, plan_sec: float, commit_sec: float) -> None:
+        rd = os.path.join(t.catalog.metadata_dir, "lineage", run_id)
+        os.makedirs(rd, exist_ok=True)
+        with open(os.path.join(rd, "metrics.json"), "w") as f:
+            json.dump({"op": "merge", "stage_seconds":
+                       {"plan": plan_sec, "commit": commit_sec}}, f)
+
+    for i in range(4):  # baseline: fast runs
+        _plant(f"fast-{i}", 0.4, 0.1)
+    policy = MaintenancePolicy(max_unclustered_files=10**9)  # metrics only
+    r1 = wh.maintain_all(policy=policy, run_id="sweep1")
+    assert r1["t1"]["stage_drift"] == []  # no prior rollup → no drift
+    assert load_rollup(t) is not None
+
+    for i in range(4):  # the plan stage slows 3x; commit stays put
+        _plant(f"slow-{i}", 1.2, 0.1)
+    r2 = wh.maintain_all(policy=policy, run_id="sweep2")
+    drift = r2["t1"]["stage_drift"]
+    assert [(d["op"], d["stage"]) for d in drift] == [("merge", "plan")]
+    assert drift[0]["ratio"] >= 1.5
+
+    # detect_drift unit behavior: below-noise stages are ignored
+    assert detect_drift(
+        {"merge": {"plan": {"p95": 0.01}}},
+        {"merge": {"plan": {"p95": 0.04}}},
+    ) == []

@@ -214,6 +214,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # shared-host context: absolute numbers swing with external load
+        # (BENCH.md §3); loadavg lets a reader judge comparability
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "loadavg_5m": round(os.getloadavg()[1], 2),
         **extras,
     }))
     spark.stop()

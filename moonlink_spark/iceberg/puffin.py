@@ -88,17 +88,15 @@ def _deserialize_roaring32(buf: memoryview, pos: int) -> tuple[np.ndarray, int]:
     streams written by other implementations. Returns (values, new_pos)."""
     (cookie,) = struct.unpack_from("<i", buf, pos)
     short_cookie = cookie & 0xFFFF
+    run_flags = b""
     if short_cookie == _SERIAL_COOKIE_RUN:
+        # run-container stream (written by e.g. Java's runOptimize()): a
+        # bitset marks which containers are run-encoded
         size = (cookie >> 16) + 1
         run_flag_len = (size + 7) // 8
         run_flags = bytes(buf[pos + 4 : pos + 4 + run_flag_len])
-        if any(run_flags):
-            raise ValueError(
-                "roaring bitmap with run containers is unsupported by this "
-                "deletion-vector reader"
-            )
         hdr = pos + 4 + run_flag_len
-        has_offsets = size >= 4
+        has_offsets = size >= 4  # NO_OFFSET_THRESHOLD per the format spec
     elif cookie == _SERIAL_COOKIE_NO_RUN:
         (size,) = struct.unpack_from("<i", buf, pos + 4)
         hdr = pos + 8
@@ -114,7 +112,21 @@ def _deserialize_roaring32(buf: memoryview, pos: int) -> tuple[np.ndarray, int]:
         p += 4 * size  # trust sequential layout; offsets are redundant here
     out = []
     for i in range(size):
-        if cards[i] <= _ARRAY_MAX:
+        is_run = bool(run_flags) and bool(run_flags[i // 8] & (1 << (i % 8)))
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, p)
+            p += 2
+            runs = np.frombuffer(buf, dtype="<u2", count=n_runs * 2, offset=p)
+            p += 4 * n_runs
+            starts = runs[0::2].astype(np.uint32)
+            lengths = runs[1::2].astype(np.uint32)  # stored as (length - 1)
+            lows = np.concatenate(
+                [
+                    np.arange(s, s + ln + 1, dtype=np.uint32)
+                    for s, ln in zip(starts, lengths)
+                ]
+            ) if n_runs else np.empty(0, dtype=np.uint32)
+        elif cards[i] <= _ARRAY_MAX:
             vals = np.frombuffer(buf, dtype="<u2", count=int(cards[i]), offset=p)
             p += 2 * int(cards[i])
             lows = vals.astype(np.uint32)

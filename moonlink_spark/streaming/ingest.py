@@ -60,6 +60,10 @@ class MaintenancePolicy:
     # their pins rotate out (the Iceberg mirror-retention trade-off).
     # None = keep every pin.
     mirror_keep_pins: int | None = 8
+    # Iceberg format version for the mirror: 2 (position-delete parquet,
+    # default) or 3 (puffin deletion-vector blobs — the reference's native
+    # DV form, deletion_vector.rs:15-21)
+    mirror_format_version: int = 2
 
     def due(self, table: MoonTable) -> bool:
         files = table.data_files()
@@ -113,7 +117,11 @@ def start_cdc_stream(
         if maintenance is not None and maintenance.iceberg_mirror:
             from moonlink_spark.iceberg import export_iceberg
 
-            export_iceberg(table, maintenance.iceberg_mirror)
+            export_iceberg(
+                table,
+                maintenance.iceberg_mirror,
+                format_version=maintenance.mirror_format_version,
+            )
             keep = maintenance.mirror_keep_pins
             if keep is not None:
                 pins = sorted(

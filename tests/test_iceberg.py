@@ -624,3 +624,34 @@ def test_name_mapping_covers_idless_files_and_readd(spark, tmp_path):
     # and the native scan (the reference behavior the mapping encodes)
     # reads the re-added column as NULL on pre-drop files
     assert t.scan().filter(F.col("caption").isNotNull()).count() == 0
+
+
+def test_roaring64_reads_java_run_containers(spark):
+    """Interop in the OTHER direction: the Java reference library WRITES a
+    run-optimized portable roaring64 stream (runOptimize() emits run
+    containers, cookie 12347) and our decoder must read it — an external
+    engine's v3 deletion vectors are not guaranteed run-free."""
+    import numpy as np
+
+    from moonlink_spark.iceberg.puffin import deserialize_roaring64
+
+    jvm = spark.sparkContext._jvm
+    rb = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    # dense ranges → run containers after runOptimize; plus stragglers and
+    # a second high-32 bucket
+    rb.addRange(100, 50_000)              # one long run
+    rb.addLong(70_001); rb.addLong(70_003)
+    rb.addRange((1 << 33) + 5, (1 << 33) + 4_000)
+    rb.runOptimize()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    dos = jvm.java.io.DataOutputStream(baos)
+    rb.serializePortable(dos)
+    ser = bytes(baos.toByteArray())
+
+    got = deserialize_roaring64(ser)
+    want = np.concatenate([
+        np.arange(100, 50_000, dtype=np.uint64),
+        np.array([70_001, 70_003], dtype=np.uint64),
+        np.arange((1 << 33) + 5, (1 << 33) + 4_000, dtype=np.uint64),
+    ])
+    assert np.array_equal(got, want)

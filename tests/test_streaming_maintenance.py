@@ -185,3 +185,37 @@ def test_mirror_retention_swept_old_version_fails_pinned_survives(
     # fails with an error — never silently returns a partial result
     with pytest.raises(Exception):
         read_iceberg_scan(spark, mirror, columns=cols, snapshot_id=sids[0]).count()
+
+
+def test_streaming_mirror_v3_puffin(spark, tmp_table_root, tmp_path):
+    """Continuous sync at mirror_format_version=3: each epoch's export
+    lands puffin deletion-vector blobs and the v3 mirror's spec scan
+    matches the table after the drain."""
+    import glob
+
+    from moonlink_spark.iceberg import read_iceberg_scan
+    from moonlink_spark.iceberg.reader import load_iceberg_metadata
+
+    t = create_images_table(spark, tmp_table_root, N, seed=42)
+    stage = os.path.join(str(tmp_path), "stage")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    mirror = os.path.join(str(tmp_path), "mirror")
+    for i, (n, lsn) in enumerate([(80, 1_000), (60, 2_000_000)]):
+        generate_changes_df(spark, N, n, seed=42, lsn_start=lsn).coalesce(1).write.parquet(
+            stage, mode="append" if i else "overwrite"
+        )
+    policy = MaintenancePolicy(
+        cluster_by=BY, max_unclustered_files=10**9,
+        iceberg_mirror=mirror, mirror_format_version=3,
+    )
+    ingest_cdc_dir(t, stage, ckpt, max_files_per_trigger=1, maintenance=policy)
+
+    meta = load_iceberg_metadata(mirror)
+    assert meta["format-version"] == 3
+    assert len(meta["snapshots"]) == 2
+    assert glob.glob(os.path.join(mirror, "data", "*.puffin"))
+    cols = ["image_id", "caption", "phash"]
+    ice = read_iceberg_scan(spark, mirror, columns=cols)
+    native = t.scan(columns=cols)
+    assert ice.count() == native.count()
+    assert ice.exceptAll(native).count() == 0

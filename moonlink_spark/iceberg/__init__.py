@@ -10,6 +10,7 @@ table/iceberg/deletion_vector.rs:1-30 delete-blob properties,
 file_catalog.rs:590-673 version-hint protocol).
 """
 
+from moonlink_spark.iceberg.expire import expire_iceberg_mirror  # noqa: F401
 from moonlink_spark.iceberg.export import export_iceberg  # noqa: F401
 from moonlink_spark.iceberg.importer import import_iceberg  # noqa: F401
 from moonlink_spark.iceberg.reader import read_iceberg_scan  # noqa: F401

@@ -51,6 +51,20 @@ from moonlink_spark.iceberg.spec import (
 _MANIFEST_MAX_ENTRIES = 25_000
 
 
+def _flush_lsn_at(meta, snapshot_id: int) -> int:
+    """Effective flush-lsn at *snapshot_id*: the last explicitly recorded
+    flush-lsn at or before it in sequence order (maintenance snapshots
+    inherit — same walk as MoonTable.current_flush_lsn)."""
+    eff = 0
+    for s in meta.snapshots:
+        if s.summary.get("staged"):
+            continue
+        eff = int(s.summary.get("flush-lsn", eff))
+        if s.snapshot_id == snapshot_id:
+            break
+    return eff
+
+
 def _write_pos_delete_parquet(
     table, deletes_df, out_dir: str, prefix: str = "icedel"
 ) -> list[dict]:
@@ -574,6 +588,13 @@ def export_iceberg(
             "added-records": str(total_records),
             "added-position-delete-files": str(len(delete_infos)),
             "added-position-deletes": str(total_deletes),
+            # the reference stamps each synced Iceberg snapshot with the
+            # CDC flush LSN it is visible at (iceberg_table_syncer.rs sets
+            # snapshot props; mooncake_table.rs:432-445 keeps it
+            # monotonic), so external readers can map a mirror version
+            # back to a replication position
+            "flush-lsn": str(_flush_lsn_at(meta, exported_sid)),
+            "source-snapshot-id": str(exported_sid),
         },
         "schema-id": schema_id,
     }

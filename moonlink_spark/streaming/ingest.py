@@ -64,6 +64,14 @@ class MaintenancePolicy:
     # default) or 3 (puffin deletion-vector blobs — the reference's native
     # DV form, deletion_vector.rs:15-21)
     mirror_format_version: int = 2
+    # Coherent mirror retention: after each export, expire mirror versions
+    # beyond the newest N (expire_iceberg_mirror: prunes mirror metadata,
+    # deletes mirror-local delete/manifest files, releases the expired
+    # versions' source pins). Unlike mirror_keep_pins — which only rotates
+    # pins and leaves the mirror claiming versions that may break — this
+    # keeps the mirror's metadata and its pins in lockstep. None = grow
+    # forever.
+    mirror_keep_versions: int | None = None
 
     def due(self, table: MoonTable) -> bool:
         files = table.data_files()
@@ -122,6 +130,15 @@ def start_cdc_stream(
                 maintenance.iceberg_mirror,
                 format_version=maintenance.mirror_format_version,
             )
+            if maintenance.mirror_keep_versions is not None:
+                from moonlink_spark.iceberg import expire_iceberg_mirror
+
+                expire_iceberg_mirror(
+                    table.spark,
+                    maintenance.iceberg_mirror,
+                    keep_last=maintenance.mirror_keep_versions,
+                    source_table=table,
+                )
             keep = maintenance.mirror_keep_pins
             if keep is not None:
                 pins = sorted(

@@ -655,3 +655,90 @@ def test_roaring64_reads_java_run_containers(spark):
         np.arange((1 << 33) + 5, (1 << 33) + 4_000, dtype=np.uint64),
     ])
     assert np.array_equal(got, want)
+
+
+def test_flush_lsn_stamped_on_export(spark, tmp_path):
+    """Each exported snapshot carries the flush-lsn it is visible at (the
+    reference stamps its synced snapshots with the CDC position,
+    iceberg_table_syncer.rs snapshot props), so an external reader can map
+    a mirror version back to a replication position."""
+    t = create_images_table(spark, str(tmp_path / "tbl"), 150, seed=42)
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    merge_into(t, generate_changes_df(spark, 150, 40, seed=42), run_id="m1")
+    export_iceberg(t, dest)
+
+    meta = load_iceberg_metadata(dest)
+    lsns = [int(s["summary"]["flush-lsn"]) for s in meta["snapshots"]]
+    assert lsns[0] == 0  # pre-merge: no CDC applied yet
+    assert lsns[1] == t.current_flush_lsn() > 0
+    assert all(
+        int(s["summary"]["source-snapshot-id"]) == s["snapshot-id"]
+        for s in meta["snapshots"]
+    )
+
+
+def test_expire_iceberg_mirror(spark, tmp_path):
+    """Mirror retention: keep the newest K snapshots, delete mirror-LOCAL
+    files (delete parquet / manifests / old metadata) only dropped versions
+    reference, never the in-place source data files; kept versions still
+    scan; dropped versions vanish from metadata; source pin tags of
+    expired versions are released."""
+    from moonlink_spark.iceberg import expire_iceberg_mirror
+
+    t = create_images_table(spark, str(tmp_path / "tbl"), 300, seed=42)
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    for i, lsn in enumerate([1_000_000, 3_000_000, 5_000_000]):
+        merge_into(t, generate_changes_df(spark, 300, 50, seed=42,
+                                          lsn_start=lsn), run_id=f"m{i}")
+        export_iceberg(t, dest)
+
+    meta = load_iceberg_metadata(dest)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert len(sids) == 4
+    assert len([n for n in t.refs() if n.startswith("iceberg-export-")]) == 4
+    old_local = _snapshot_local_files(spark, dest, meta["snapshots"][1])
+
+    rep = expire_iceberg_mirror(spark, dest, keep_last=2, source_table=t)
+    assert rep["expired_snapshot_ids"] == sids[:2]
+    assert rep["deleted_files"] > 0
+    assert sorted(rep["dropped_pins"]) == sorted(
+        f"iceberg-export-{s}" for s in sids[:2]
+    )
+
+    meta2 = load_iceberg_metadata(dest)
+    assert [s["snapshot-id"] for s in meta2["snapshots"]] == sids[2:]
+    # kept versions still scan (current matches native)
+    cols = ["image_id", "caption", "phash"]
+    ice = read_iceberg_scan(spark, dest, columns=cols)
+    native = t.scan(columns=cols)
+    assert ice.count() == native.count()
+    assert ice.exceptAll(native).count() == 0
+    assert read_iceberg_scan(spark, dest, columns=cols,
+                             snapshot_id=sids[2]).count() > 0
+    # dropped version is gone from metadata
+    with pytest.raises(StopIteration):
+        read_iceberg_scan(spark, dest, snapshot_id=sids[0])
+    # the dropped version's mirror-local delete files were removed; the
+    # source table's own data files were NOT touched
+    for p in old_local:
+        assert not os.path.exists(p), p
+    assert native.count() == t.scan().count()
+
+
+def _snapshot_local_files(spark, mirror_root, snap):
+    """Mirror-local delete files a snapshot references (icedel parquet)."""
+    from moonlink_spark.iceberg.reader import (
+        _manifest_entries,
+        _manifest_list_entries,
+    )
+
+    root = os.path.abspath(mirror_root)
+    out = []
+    for m in _manifest_list_entries(spark, snap["manifest-list"]):
+        for e in _manifest_entries(spark, m["manifest_path"]):
+            p = os.path.abspath(e["file_path"])
+            if e["content"] != 0 and p.startswith(root + os.sep):
+                out.append(p)
+    return out

@@ -219,3 +219,40 @@ def test_streaming_mirror_v3_puffin(spark, tmp_table_root, tmp_path):
     native = t.scan(columns=cols)
     assert ice.count() == native.count()
     assert ice.exceptAll(native).count() == 0
+
+
+def test_streaming_mirror_keep_versions(spark, tmp_table_root, tmp_path):
+    """mirror_keep_versions keeps the mirror's metadata and the source
+    pins in lockstep: after the drain only the newest K mirror versions
+    exist, their pins survive, expired versions' pins are gone, and the
+    kept versions scan."""
+    from moonlink_spark.iceberg import read_iceberg_scan
+    from moonlink_spark.iceberg.reader import load_iceberg_metadata
+
+    t = create_images_table(spark, tmp_table_root, N, seed=42)
+    stage = os.path.join(str(tmp_path), "stage")
+    mirror = os.path.join(str(tmp_path), "mirror")
+    for i, (n, lsn) in enumerate([(60, 1_000), (50, 2_000_000), (40, 4_000_000)]):
+        generate_changes_df(spark, N, n, seed=42, lsn_start=lsn).coalesce(1).write.parquet(
+            stage, mode="append" if i else "overwrite"
+        )
+    policy = MaintenancePolicy(
+        cluster_by=BY, max_unclustered_files=10**9,
+        iceberg_mirror=mirror, mirror_keep_versions=2, mirror_keep_pins=None,
+    )
+    ingest_cdc_dir(t, stage, os.path.join(str(tmp_path), "ckpt"),
+                   max_files_per_trigger=1, maintenance=policy)
+
+    meta = load_iceberg_metadata(mirror)
+    assert len(meta["snapshots"]) == 2  # 3 epochs, oldest expired in-loop
+    kept = {s["snapshot-id"] for s in meta["snapshots"]}
+    pins = {
+        int(n.rsplit("-", 1)[1])
+        for n in t.refs() if n.startswith("iceberg-export-")
+    }
+    assert pins == kept
+    cols = ["image_id", "caption", "phash"]
+    ice = read_iceberg_scan(spark, mirror, columns=cols)
+    native = t.scan(columns=cols)
+    assert ice.count() == native.count()
+    assert ice.exceptAll(native).count() == 0

@@ -67,6 +67,15 @@ def main() -> None:
     # v2 metadata under this directory (versioned: each invocation appends
     # a new Iceberg snapshot — the reference's ongoing iceberg sync shape)
     ap.add_argument("--export-iceberg", default=None, metavar="DEST_DIR")
+    ap.add_argument("--export-format-version", type=int, default=2,
+                    choices=[2, 3],
+                    help="Iceberg format for --export-iceberg: 2 = position-"
+                         "delete parquet, 3 = puffin deletion-vector blobs")
+    ap.add_argument("--mirror-expire-keep", type=int, default=None,
+                    metavar="K",
+                    help="after --export-iceberg, expire mirror versions "
+                         "beyond the newest K (prunes mirror metadata, "
+                         "deletes mirror-local files, releases old pins)")
     args = ap.parse_args()
     if bool(args.table) == bool(args.warehouse):
         ap.error("pass exactly one of --table or --warehouse")
@@ -166,8 +175,20 @@ def main() -> None:
         from moonlink_spark.iceberg import export_iceberg
 
         out["iceberg_metadata"] = timed(
-            "export_iceberg", lambda: export_iceberg(table, args.export_iceberg)
+            "export_iceberg",
+            lambda: export_iceberg(table, args.export_iceberg,
+                                   format_version=args.export_format_version),
         )
+        if args.mirror_expire_keep is not None:
+            from moonlink_spark.iceberg import expire_iceberg_mirror
+
+            out["mirror_expire"] = timed(
+                "mirror_expire",
+                lambda: expire_iceberg_mirror(
+                    spark, args.export_iceberg,
+                    keep_last=args.mirror_expire_keep, source_table=table,
+                ),
+            )
 
     out["rows"] = table.scan().count()
     out["files"] = len(table.data_files())

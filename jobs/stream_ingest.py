@@ -40,6 +40,10 @@ def main() -> None:
     # Iceberg v2 version under this dir (the reference's per-snapshot
     # iceberg persistence loop)
     ap.add_argument("--iceberg-mirror", default=None, metavar="DEST_DIR")
+    ap.add_argument("--mirror-format-version", type=int, default=2,
+                    choices=[2, 3])
+    ap.add_argument("--mirror-keep-versions", type=int, default=None,
+                    metavar="K")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,6 +73,8 @@ def main() -> None:
         policy = policy or MaintenancePolicy(max_unclustered_files=1 << 60,
                                              max_unclustered_bytes=1 << 60)
         policy.iceberg_mirror = args.iceberg_mirror
+        policy.mirror_format_version = args.mirror_format_version
+        policy.mirror_keep_versions = args.mirror_keep_versions
 
     if args.available_now:
         ingest_cdc_dir(

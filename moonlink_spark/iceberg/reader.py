@@ -200,17 +200,39 @@ def puffin_delete_rows(spark: SparkSession, entries: list[dict]) -> DataFrame:
     )
 
 
+def snapshot_as_of(meta: dict, as_of_ms: int) -> int:
+    """Timestamp time travel (the spec's snapshot-log contract): the last
+    snapshot whose log entry timestamp-ms ≤ *as_of_ms*."""
+    best = None
+    for e in meta.get("snapshot-log", []):
+        if e["timestamp-ms"] <= as_of_ms:
+            best = e["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp-ms {as_of_ms} "
+            f"(oldest log entry: {meta.get('snapshot-log') or 'none'})"
+        )
+    return best
+
+
 def read_iceberg_scan(
     spark: SparkSession,
     table_root: str,
     columns: list[str] | None = None,
     snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
-    """Scan an Iceberg v2 table directory through the spec protocol alone;
-    returns the live rows (position deletes applied)."""
+    """Scan an Iceberg table directory through the spec protocol alone;
+    returns the live rows (position deletes applied). Time travel by
+    *snapshot_id* or by wall-clock *as_of_ms* (snapshot-log resolution)."""
     meta = load_iceberg_metadata(table_root)
     check_supported(meta, table_root)
-    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    if snapshot_id is not None and as_of_ms is not None:
+        raise ValueError("pass snapshot_id or as_of_ms, not both")
+    if as_of_ms is not None:
+        sid = snapshot_as_of(meta, as_of_ms)
+    else:
+        sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
 
     data_paths: list[str] = []

@@ -742,3 +742,27 @@ def _snapshot_local_files(spark, mirror_root, snap):
             if e["content"] != 0 and p.startswith(root + os.sep):
                 out.append(p)
     return out
+
+
+def test_timestamp_time_travel_through_mirror(spark, tmp_path):
+    """as_of_ms time travel: the snapshot-log maps a wall-clock timestamp
+    to the last snapshot committed at or before it (the spec's
+    timestamp-resolution contract every Iceberg reader implements)."""
+    t = create_images_table(spark, str(tmp_path / "tbl"), 200, seed=42)
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    merge_into(t, generate_changes_df(spark, 200, 50, seed=42), run_id="m1")
+    export_iceberg(t, dest)
+
+    meta = load_iceberg_metadata(dest)
+    log = meta["snapshot-log"]
+    assert len(log) == 2 and log[0]["timestamp-ms"] <= log[1]["timestamp-ms"]
+
+    old = read_iceberg_scan(spark, dest, as_of_ms=log[0]["timestamp-ms"])
+    assert old.count() == 200
+    cur = read_iceberg_scan(spark, dest, as_of_ms=log[1]["timestamp-ms"] + 10_000)
+    assert cur.count() == t.scan().count()
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_iceberg_scan(spark, dest, as_of_ms=log[0]["timestamp-ms"] - 1)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_scan(spark, dest, snapshot_id=1, as_of_ms=1)

@@ -31,7 +31,6 @@ from pyspark.sql import SparkSession, functions as F
 from moonlink_spark.iceberg.reader import (
     _manifest_entries,
     _manifest_list_entries,
-    _reject_equality_deletes,
     check_supported,
     load_iceberg_metadata,
     resolve_schema,
@@ -71,6 +70,87 @@ def _adopt_type_ids(t, path: str) -> dict[str, int]:
     return ids
 
 
+def _equality_to_position_deletes(
+    spark: SparkSession, ice_schema: dict, data_entries: list[dict],
+    eq_entries: list[dict],
+):
+    """Convert equality-delete files (content=2, e.g. Flink CDC output)
+    into (file_path, pos) rows at adoption time — one distributed join per
+    distinct equality-id set, so the adopted table needs only our bitmap
+    DVs afterwards.
+
+    Spec semantics: an equality delete applies to rows in data files whose
+    data sequence number is STRICTLY LESS than the delete file's, matching
+    on the equality-id columns with NULL == NULL (Iceberg spec, "Equality
+    Delete Files"). At 100 TB this is a shuffle of the table keyed on the
+    equality columns against the (much smaller) delete set — the same
+    plan an engine-native eq-delete apply runs."""
+    from collections import defaultdict
+
+    from moonlink_spark.catalog.metadata import norm_path
+
+    id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    groups: dict[tuple, list[dict]] = defaultdict(list)
+    for e in eq_entries:
+        if not e.get("equality_ids"):
+            raise ValueError(
+                f"equality-delete file {e['file_path']} has no equality_ids"
+            )
+        try:
+            key = tuple(id_to_name[i] for i in sorted(e["equality_ids"]))
+        except KeyError as exc:
+            raise ValueError(
+                f"equality-delete file {e['file_path']} references unknown "
+                f"field id {exc}"
+            ) from None
+        groups[key].append(e)
+
+    data_seq_df = spark.createDataFrame(
+        [(norm_path(e["file_path"]), int(e["_seq"])) for e in data_entries],
+        "file_path string, _dseq long",
+    )
+    parts = []
+    for key_cols, entries in groups.items():
+        data = (
+            spark.read.parquet(*[e["file_path"] for e in data_entries])
+            .select(
+                *key_cols,
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .join(F.broadcast(data_seq_df), "file_path")
+        )
+        del_seq_df = spark.createDataFrame(
+            [(norm_path(e["file_path"]), int(e["_seq"])) for e in entries],
+            "_delfp string, _xseq long",
+        )
+        dels = (
+            spark.read.parquet(*[e["file_path"] for e in entries])
+            .select(
+                *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("_delfp"),
+            )
+            .join(F.broadcast(del_seq_df), "_delfp")
+            .select(*[f"_k_{c}" for c in key_cols], "_xseq")
+            .distinct()
+        )
+        cond = [data[c].eqNullSafe(dels[f"_k_{c}"]) for c in key_cols]
+        parts.append(
+            data.join(dels, cond, "inner")
+            .where(F.col("_xseq") > F.col("_dseq"))
+            .select("file_path", F.col("pos").cast("long"))
+            .distinct()
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def import_iceberg(
     spark: SparkSession,
     src_root: str,
@@ -98,20 +178,30 @@ def import_iceberg(
     )
     key_columns = key_columns or [ice_schema["fields"][0]["name"]]
 
-    data_paths: list[str] = []
+    data_entries: list[dict] = []
     delete_paths: list[str] = []
     puffin_entries: list[dict] = []
+    eq_entries: list[dict] = []
     for m in _manifest_list_entries(spark, snap["manifest-list"]):
         for e in _manifest_entries(spark, m["manifest_path"]):
             if e["status"] == 2:
                 continue
-            _reject_equality_deletes(e, snap["manifest-list"])
+            # entry-level sequence, inheriting the manifest's on null
+            # (the spec's sequence-number inheritance for ADDED entries)
+            e["_seq"] = (
+                e["sequence_number"]
+                if e.get("sequence_number") is not None
+                else m["sequence_number"]
+            )
             if e["content"] == 0:
-                data_paths.append(e["file_path"])
+                data_entries.append(e)
+            elif e["content"] == 2:
+                eq_entries.append(e)
             elif e.get("file_format") == "PUFFIN":
                 puffin_entries.append(e)
             else:
                 delete_paths.append(e["file_path"])
+    data_paths = [e["file_path"] for e in data_entries]
 
     t = MoonTable.create(spark, dest_root, schema, key_columns=key_columns)
     # adopt the source's field ids (incl. nested) so evolution continues
@@ -128,7 +218,7 @@ def import_iceberg(
 
     t.add_files(data_paths, run_id="iceberg-import")
 
-    if delete_paths or puffin_entries:
+    if delete_paths or puffin_entries or eq_entries:
         # spec position deletes (v2 parquet and/or v3 puffin DV blobs) ->
         # bitmap DVs; file_path values are normalized the way our scanner
         # reports them
@@ -145,6 +235,12 @@ def import_iceberg(
             parts.append(
                 puffin_delete_rows(spark, puffin_entries).select(
                     F.col("_fp").alias("file_path"), F.col("_pos").alias("pos")
+                )
+            )
+        if eq_entries:
+            parts.append(
+                _equality_to_position_deletes(
+                    spark, ice_schema, data_entries, eq_entries
                 )
             )
         dels = parts[0]

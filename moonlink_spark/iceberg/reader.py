@@ -49,6 +49,7 @@ def _manifest_list_entries(spark: SparkSession, path: str) -> list[dict]:
             {
                 "manifest_path": str(r.get("manifest_path")),
                 "content": int(r.get("content")),
+                "sequence_number": int(r.get("sequence_number")),
             }
             for r in read_avro_via_jvm(spark, path)
         ]
@@ -57,7 +58,11 @@ def _manifest_list_entries(spark: SparkSession, path: str) -> list[dict]:
 
         _, _, recs = read_avro_file(path)
         return [
-            {"manifest_path": r["manifest_path"], "content": r["content"]}
+            {
+                "manifest_path": r["manifest_path"],
+                "content": r["content"],
+                "sequence_number": r.get("sequence_number", 0),
+            }
             for r in recs
         ]
 
@@ -66,6 +71,9 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
     def _opt(v, conv):
         return None if v is None else conv(v)
 
+    def _ids(v):
+        return None if v is None else [int(x) for x in v]
+
     try:
         out = []
         for r in read_avro_via_jvm(spark, path):
@@ -73,10 +81,12 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
             out.append(
                 {
                     "status": int(r.get("status")),
+                    "sequence_number": _opt(r.get("sequence_number"), int),
                     "content": int(df.get("content")),
                     "file_path": str(df.get("file_path")),
                     "file_format": str(df.get("file_format")),
                     "record_count": int(df.get("record_count")),
+                    "equality_ids": _ids(df.get("equality_ids")),
                     "referenced_data_file": _opt(df.get("referenced_data_file"), str),
                     "content_offset": _opt(df.get("content_offset"), int),
                     "content_size_in_bytes": _opt(
@@ -92,10 +102,12 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
         return [
             {
                 "status": r["status"],
+                "sequence_number": r.get("sequence_number"),
                 "content": r["data_file"]["content"],
                 "file_path": r["data_file"]["file_path"],
                 "file_format": r["data_file"].get("file_format", "PARQUET"),
                 "record_count": r["data_file"]["record_count"],
+                "equality_ids": r["data_file"].get("equality_ids"),
                 "referenced_data_file": r["data_file"].get("referenced_data_file"),
                 "content_offset": r["data_file"].get("content_offset"),
                 "content_size_in_bytes": r["data_file"].get("content_size_in_bytes"),
@@ -128,10 +140,10 @@ def resolve_schema(meta: dict, snap: dict | None = None) -> dict:
 def check_supported(meta: dict, table_root: str) -> None:
     """Up-front validation of the Iceberg feature surface this engine
     consumes — a clear error beats a confusing AnalysisException deep in
-    the delete-file read. Unsupported: equality deletes (content=2 data
-    files are rejected per-entry in the manifest walk) and non-identity /
-    non-empty partition specs (partition pruning semantics would be
-    silently lost)."""
+    the delete-file read. Unsupported: non-empty partition specs
+    (partition pruning semantics would be silently lost). Equality deletes
+    (content=2) are rejected by the SCAN path per-entry; import_iceberg
+    CONVERTS them to position deletes at adoption instead."""
     if meta.get("format-version") not in (2, 3):
         raise ValueError(
             f"unsupported Iceberg format-version "

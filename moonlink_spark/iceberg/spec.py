@@ -107,6 +107,13 @@ def manifest_entry_schema() -> dict:
                 "default": None,
                 "field-id": 128,
             },
+            # equality-delete key ids (content=2 entries; spec field 135)
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
             # v3 deletion-vector fields (optional, null for v2 entries):
             # the puffin blob a DV entry points into
             {

@@ -257,6 +257,69 @@ def q_rest_json_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_wal2json_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 9 analog (pg_replicate/conversions/cdc_event.rs,
+    moonlink_sink.rs): the change batch staged as Postgres wal2json
+    logical-decoding transaction lines — X/Y hex LSNs, bytea as \\x-hex,
+    deletes carried as REPLICA IDENTITY oldkeys — parsed entirely
+    JVM-side (sources/wal2json.py) and applied through the same MERGE
+    kernel. The LWW oracle proves the Postgres-CDC-format path end to
+    end; the staging serialization below is itself a Spark job."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.sources.wal2json import read_wal2json
+
+    t = _make_table(spark, sf_dir, "wal2json")
+    stage = _fresh_root("wal2json_src")
+    ch = _changes_df(spark, sf_dir)
+
+    def _s(c):  # scalar → wal2json text form
+        return F.col(c).cast("string")
+
+    names = F.array(*[F.lit(f.name) for f in t.schema.fields])
+    values = F.array(
+        _s("image_id"),
+        F.when(F.col("bytes").isNotNull(),
+               F.concat(F.lit("\\x"), F.lower(F.hex("bytes")))),
+        _s("w"), _s("h"), _s("fmt"), _s("caption"), _s("phash"),
+    )
+    lsn_text = F.concat(
+        F.lower(F.hex(F.shiftrightunsigned("lsn", 32))), F.lit("/"),
+        F.lower(F.hex(F.col("lsn").bitwiseAND(F.lit(0xFFFFFFFF)))),
+    )
+    is_del = F.col("op") == "D"
+    change = F.struct(
+        F.when(F.col("op") == "I", F.lit("insert"))
+        .when(F.col("op") == "U", F.lit("update"))
+        .otherwise(F.lit("delete")).alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("images").alias("table"),
+        F.when(~is_del, names).alias("columnnames"),
+        F.when(~is_del, values).alias("columnvalues"),
+        F.when(
+            is_del,
+            F.struct(
+                F.array(F.lit("image_id")).alias("keynames"),
+                F.array(_s("image_id")).alias("keyvalues"),
+            ),
+        ).alias("oldkeys"),
+    )
+    lines = ch.select(
+        F.to_json(
+            F.struct(
+                F.monotonically_increasing_id().alias("xid"),
+                lsn_text.alias("nextlsn"),
+                F.array(change).alias("change"),
+            )
+        ).alias("value")
+    )
+    lines.write.text(stage)
+    merge_into(t, read_wal2json(spark, stage, t.schema, table="images"),
+               run_id="m1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_iceberg_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-native interop: merge (so position deletes exist), export the
     snapshot as GENUINE Iceberg v2 metadata (JSON + handwritten Avro
@@ -1679,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_column_roundtrip": q_list_column_roundtrip,
         "iceberg_import_scan": q_iceberg_import_scan,
         "rest_json_cdc_merge": q_rest_json_cdc_merge,
+        "wal2json_cdc_merge": q_wal2json_cdc_merge,
         "compact_small_files": q_compact_small_files,
         "cluster_zorder": q_cluster_zorder,
         "snapshot_time_travel": q_snapshot_time_travel,
@@ -1748,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "iceberg_import_scan": lww,
         "rest_json_cdc_merge": lww,
+        "wal2json_cdc_merge": lww,
         "compact_small_files": lww,
         "streaming_cdc_merge": lww,
         "streaming_iceberg_mirror": lww,

@@ -108,6 +108,37 @@ def read_wal2json(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
+    return _finish(raw, table_schema, table, strict)
+
+
+def stream_wal2json(
+    spark: SparkSession,
+    path: str,
+    table_schema: T.StructType,
+    table: str | None = None,
+    max_files_per_trigger: int | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Streaming twin of read_wal2json (readStream over a WAL drop-dir) —
+    the shape of the reference's live replication loop
+    (replication_connection.rs feeds cdc_event.rs continuously)."""
+    reader = (
+        spark.readStream.schema(wal2json_read_schema())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _finish(reader.json(path), table_schema, table, strict)
+
+
+def _finish(
+    raw: DataFrame,
+    table_schema: T.StructType,
+    table: str | None,
+    strict: bool,
+) -> DataFrame:
+    """Shared batch/streaming transformation: guard → explode → typed row."""
     lsn_text = F.coalesce(F.col("lsn"), F.col("nextlsn"))
     malformed = F.col(_CORRUPT).isNotNull()
     no_lsn = ~malformed & lsn_text.isNull()

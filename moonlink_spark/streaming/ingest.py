@@ -166,14 +166,17 @@ def ingest_cdc_dir(
     max_files_per_trigger: int | None = None,
     maintenance: MaintenancePolicy | None = None,
     format: str = "parquet",
+    wal2json_table: str | None = None,
 ) -> None:
     """Drain a drop-directory of CDC files into *table* and stop
     (Trigger.AvailableNow): the bounded-backfill shape of the continuous
     path above. Each micro-batch is one transactional MERGE commit.
 
-    *format*: "parquet" (typed files) or "json" (newline-delimited REST-
+    *format*: "parquet" (typed files), "json" (newline-delimited REST-
     style events parsed/coerced against the table schema — the
-    rest_ingest/json_converter.rs analog, sources/json_cdc.py)."""
+    rest_ingest/json_converter.rs analog, sources/json_cdc.py), or
+    "wal2json" (Postgres logical-decoding transaction lines — the
+    pg_replicate analog, sources/wal2json.py)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     schema = table.schema
@@ -184,6 +187,13 @@ def ingest_cdc_dir(
 
         stream = stream_json_cdc(
             table.spark, changes_dir, schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    elif format == "wal2json":
+        from moonlink_spark.sources.wal2json import stream_wal2json
+
+        stream = stream_wal2json(
+            table.spark, changes_dir, schema, table=wal2json_table,
             max_files_per_trigger=max_files_per_trigger,
         )
     elif format == "parquet":

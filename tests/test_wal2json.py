@@ -93,3 +93,25 @@ def test_wal2json_strict_rejects(spark, tmp_path):
 
     # strict=False drops the malformed line instead
     assert read_wal2json(spark, str(bad), SCHEMA, strict=False).count() == 0
+
+
+def test_wal2json_streaming_ingest(spark, tmp_path):
+    """ingest_cdc_dir(format="wal2json"): the streaming twin drains a WAL
+    drop-directory with one transactional MERGE per micro-batch — the
+    shape of the reference's continuous replication loop."""
+    from moonlink_spark.streaming.ingest import ingest_cdc_dir
+
+    t = MoonTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key_columns=["image_id"])
+    t.append(spark.createDataFrame(
+        [("a2", 1, True, None), ("a9", 9, False, None)], SCHEMA),
+        run_id="base")
+    stage = tmp_path / "wal"
+    stage.mkdir()
+    (stage / "w1.jsonl").write_text(_lines())
+    ingest_cdc_dir(t, str(stage), str(tmp_path / "ckpt"),
+                   format="wal2json", wal2json_table="images")
+    got = {r["image_id"]: r for r in t.scan().collect()}
+    assert set(got) == {"a1", "a9"}
+    assert got["a1"]["w"] == 1024
+    assert t.current_flush_lsn() == (1 << 32) + 5

@@ -108,12 +108,16 @@ def expire_iceberg_mirror(
         f.write(str(new_version))
     os.rename(hint_path + ".tmp", hint_path)
 
-    # retire metadata versions no retained metadata-log entry references
-    kept_meta = {e["metadata-file"] for e in new_meta["metadata-log"]} | {new_path}
+    # retire metadata versions no retained metadata-log entry references —
+    # normalized with abspath on BOTH sides (like the dead-file loop above):
+    # metadata-log entries carry whatever root spelling export() was called
+    # with, which may differ from this call's (relative vs absolute).
+    kept_meta = {os.path.abspath(e["metadata-file"])
+                 for e in new_meta["metadata-log"]} | {os.path.abspath(new_path)}
     for n in os.listdir(mdir):
         if n.startswith("v") and n.endswith(".metadata.json"):
             fp = os.path.join(mdir, n)
-            if fp not in kept_meta:
+            if os.path.abspath(fp) not in kept_meta:
                 os.unlink(fp)
 
     dropped_pins: list[str] = []

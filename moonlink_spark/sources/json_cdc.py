@@ -65,8 +65,14 @@ def _decode_binary(col: F.Column, dt: T.DataType) -> F.Column:
         return F.when(col.isNull(), F.lit(None).cast(dt)).otherwise(rebuilt)
     if isinstance(dt, T.ArrayType) and _has_binary(dt.elementType):
         return F.transform(col, lambda x: _decode_binary(x, dt.elementType))
-    if isinstance(dt, T.MapType) and _has_binary(dt.valueType):
-        return F.transform_values(col, lambda _, v: _decode_binary(v, dt.valueType))
+    if isinstance(dt, T.MapType):
+        if _has_binary(dt.keyType):
+            # map KEYS were remapped to base64 strings by _read_type too —
+            # rebuild them or the returned type mismatches the table schema
+            col = F.transform_keys(col, lambda k, _: _decode_binary(k, dt.keyType))
+        if _has_binary(dt.valueType):
+            col = F.transform_values(col, lambda _, v: _decode_binary(v, dt.valueType))
+        return col
     return col
 
 

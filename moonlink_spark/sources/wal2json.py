@@ -190,8 +190,34 @@ def _finish(
     okeys = F.map_from_arrays(
         F.col("c.oldkeys.keynames"), F.col("c.oldkeys.keyvalues")
     )
+    # PK-changing UPDATE: wal2json ships oldkeys on updates precisely so the
+    # consumer can retire the OLD key's row. The reference applies update as
+    # delete(old)+insert(new) (moonlink_sink.rs); mirroring that, when any
+    # replica-identity key value differs from the new row's we emit an extra
+    # D row built from oldkeys at the same LSN. The merge kernel's same-LSN
+    # tie-break (non-delete wins) makes a false-positive detection harmless:
+    # D and U on the SAME key at the same LSN still resolve to the U row.
+    knames = F.col("c.oldkeys.keynames")
+    pk_changed = (
+        (kind == "update")
+        & knames.isNotNull()
+        & F.exists(
+            knames,
+            lambda k: ~F.element_at(vals, k).eqNullSafe(F.element_at(okeys, k)),
+        )
+    )
+    ch = ch.withColumn(
+        "_emit",
+        F.explode(
+            F.when(pk_changed, F.array(F.lit("old_del"), F.lit("main")))
+            .otherwise(F.array(F.lit("main")))
+        ),
+    )
+    old_del = F.col("_emit") == "old_del"
+    op = F.when(old_del, F.lit("D")).otherwise(op)
+    use_oldkeys = (kind == "delete") | old_del
     cols = [op.alias("op"), F.col("lsn")]
     for f in table_schema.fields:
-        raw_val = F.when(kind == "delete", okeys[f.name]).otherwise(vals[f.name])
+        raw_val = F.when(use_oldkeys, okeys[f.name]).otherwise(vals[f.name])
         cols.append(_cast_value(raw_val, f.dataType).alias(f.name))
     return ch.select(*cols)

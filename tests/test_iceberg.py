@@ -700,7 +700,10 @@ def test_expire_iceberg_mirror(spark, tmp_path):
     assert len([n for n in t.refs() if n.startswith("iceberg-export-")]) == 4
     old_local = _snapshot_local_files(spark, dest, meta["snapshots"][1])
 
-    rep = expire_iceberg_mirror(spark, dest, keep_last=2, source_table=t)
+    # call expire with a differently-SPELLED root than export used (round-5
+    # ADVICE): metadata retirement must compare normalized paths, not raw
+    # strings, or it deletes metadata versions the metadata-log still keeps
+    rep = expire_iceberg_mirror(spark, dest + "/.", keep_last=2, source_table=t)
     assert rep["expired_snapshot_ids"] == sids[:2]
     assert rep["deleted_files"] > 0
     assert sorted(rep["dropped_pins"]) == sorted(
@@ -709,6 +712,9 @@ def test_expire_iceberg_mirror(spark, tmp_path):
 
     meta2 = load_iceberg_metadata(dest)
     assert [s["snapshot-id"] for s in meta2["snapshots"]] == sids[2:]
+    # every metadata version the retained metadata-log references survives
+    for e in meta2.get("metadata-log", []):
+        assert os.path.exists(e["metadata-file"]), e["metadata-file"]
     # kept versions still scan (current matches native)
     cols = ["image_id", "caption", "phash"]
     ice = read_iceberg_scan(spark, dest, columns=cols)

@@ -110,3 +110,32 @@ def test_nested_binary_column_roundtrip(spark, tmp_path):
     assert rows["a"]["blob"]["n"] == 7
     assert rows["b"]["blob"] is None
     assert rows["c"]["blob"]["data"] is None and rows["c"]["blob"]["n"] == 9
+
+
+def test_map_binary_key_roundtrip(spark, tmp_path):
+    """map<binary, binary> column (round-5 ADVICE): _read_type remaps map
+    KEYS to base64 strings for the JSON scan, so the rebuild must
+    transform_keys as well as transform_values — otherwise the returned
+    column is map<string,...>, mismatching the declared table schema."""
+    import base64
+
+    import pyspark.sql.types as T
+
+    from moonlink_spark.sources.json_cdc import read_json_cdc
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("m", T.MapType(T.BinaryType(), T.BinaryType()), True),
+    ])
+    k = base64.b64encode(b"\x01key").decode()
+    v = base64.b64encode(b"\x02val").decode()
+    p = tmp_path / "ev.jsonl"
+    p.write_text('{"op": "I", "lsn": 1, "id": "a", "m": {"%s": "%s"}}' % (k, v))
+
+    df = read_json_cdc(spark, str(p), schema)
+    mt = df.schema["m"].dataType
+    assert mt.keyType == T.BinaryType() and mt.valueType == T.BinaryType()
+    row = df.collect()[0]
+    assert {bytes(kk): bytes(vv) for kk, vv in row["m"].items()} == {
+        b"\x01key": b"\x02val"
+    }

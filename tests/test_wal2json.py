@@ -73,6 +73,55 @@ def test_wal2json_parse_and_merge(spark, tmp_path):
     assert t.current_flush_lsn() == (1 << 32) + 5
 
 
+def test_wal2json_pk_changing_update(spark, tmp_path):
+    """A PK-changing UPDATE (oldkeys differ from the new row's key) must
+    retire the OLD key's row — the reference applies update as
+    delete(old)+insert(new) (moonlink_sink.rs); wal2json ships oldkeys on
+    updates precisely for this. A same-key update with oldkeys present must
+    NOT emit an extra delete."""
+    p = tmp_path / "wal.jsonl"
+    p.write_text("\n".join([
+        '{"xid": 1, "nextlsn": "0/10", "change": ['
+        '{"kind":"insert","table":"images",'
+        '"columnnames":["image_id","w","flag","blob"],'
+        '"columnvalues":["k1",10,true,null]},'
+        '{"kind":"insert","table":"images",'
+        '"columnnames":["image_id","w","flag","blob"],'
+        '"columnvalues":["k2",20,true,null]}]}',
+        # same-key update WITH oldkeys: no extra delete
+        '{"xid": 2, "nextlsn": "0/20", "change": ['
+        '{"kind":"update","table":"images",'
+        '"columnnames":["image_id","w","flag","blob"],'
+        '"columnvalues":["k2",21,false,null],'
+        '"oldkeys":{"keynames":["image_id"],"keyvalues":["k2"]}}]}',
+        # PK-changing update: k1 renamed to k3
+        '{"xid": 3, "nextlsn": "0/30", "change": ['
+        '{"kind":"update","table":"images",'
+        '"columnnames":["image_id","w","flag","blob"],'
+        '"columnvalues":["k3",11,true,null],'
+        '"oldkeys":{"keynames":["image_id"],"keyvalues":["k1"]}}]}',
+    ]))
+    ch = read_wal2json(spark, str(p), SCHEMA, table="images")
+    ops = sorted((r["op"], r["image_id"], r["lsn"]) for r in ch.collect())
+    # exactly ONE synthetic delete — for the old key of the renaming txn,
+    # stamped with that transaction's LSN
+    assert ops == [
+        ("D", "k1", 0x30),
+        ("I", "k1", 0x10), ("I", "k2", 0x10),
+        ("U", "k2", 0x20), ("U", "k3", 0x30),
+    ]
+    d_row = [r for r in ch.collect() if r["op"] == "D"][0]
+    assert d_row["w"] is None  # reconstructed from oldkeys: non-key NULL
+
+    # end-to-end through the merge kernel: old key gone, new key present
+    t = MoonTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key_columns=["image_id"])
+    merge_into(t, ch, run_id="m1")
+    got = {r["image_id"]: r for r in t.scan().collect()}
+    assert set(got) == {"k2", "k3"}
+    assert got["k3"]["w"] == 11 and got["k2"]["w"] == 21
+
+
 def test_wal2json_strict_rejects(spark, tmp_path):
     bad = tmp_path / "bad.jsonl"
     bad.write_text('{"xid": 1, "nextlsn": "0/10", "change": [}')

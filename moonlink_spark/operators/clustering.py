@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from moonlink_spark.catalog.metadata import COMPACT_TARGET_BYTES, norm_path
 from moonlink_spark.functions.zorder import DEFAULT_BITS, curve_key
-from moonlink_spark.plans.physical import write_datafiles
+from moonlink_spark.plans.physical import exclude_file_paths, write_datafiles
 from moonlink_spark.table import MoonTable
 
 # sampled keys for boundary estimation: ~500 keys/bin at 128 bins — plenty
@@ -407,7 +407,7 @@ def _cluster_locked(
         delete_files = table.delete_files()
         if delete_files:
             deletes_df = table._read_deletes(delete_files)
-            surviving = deletes_df.filter(~F.col("file_path").isin(plan.victims))
+            surviving = exclude_file_paths(deletes_df, plan.victims)
             n_surviving_deletes = surviving.count()
             if n_surviving_deletes > 0:
                 new_delete_entries = table.write_position_deletes(

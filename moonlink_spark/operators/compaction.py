@@ -41,7 +41,7 @@ from moonlink_spark.catalog.metadata import (
     DataFile,
     norm_path,
 )
-from moonlink_spark.plans.physical import write_datafiles
+from moonlink_spark.plans.physical import exclude_file_paths, write_datafiles
 from moonlink_spark.table import MoonTable
 
 
@@ -281,7 +281,7 @@ def _compact_locked(
     new_delete_entries: list = []
     n_surviving_deletes = 0
     if delete_files:
-        surviving = deletes_df.filter(~F.col("file_path").isin(list(victim_set)))
+        surviving = exclude_file_paths(deletes_df, victim_set)
         n_surviving_deletes = surviving.count()
         if n_surviving_deletes > 0:
             new_delete_entries = table.write_position_deletes(

@@ -460,3 +460,26 @@ def hash_bin(col_name: str, num_bins: int):
     """Deterministic, skew-free bin assignment by key hash (used for merge
     insert files and position-delete files)."""
     return F.pmod(F.xxhash64(F.col(col_name)), F.lit(num_bins)).cast("int")
+
+
+# Above this many excluded paths an IN-literal expression tree becomes a
+# driver-side analysis/codegen scale-killer (same class of problem as the
+# clustering boundary cutover, clustering._NATIVE_BOUNDARY_MAX) — switch to
+# a broadcast anti-join against a victims DataFrame instead.
+EXCLUDE_ISIN_MAX = 1_000
+
+
+def exclude_file_paths(df: DataFrame, paths, col: str = "file_path") -> DataFrame:
+    """Rows of *df* whose *col* is NOT one of *paths*.
+
+    Small lists stay a codegen'd ``NOT IN`` literal; large lists (a
+    force_full carry-over can name 10^5-10^6 victim files) become a
+    broadcast LEFT ANTI join, which is O(|paths|) driver work instead of a
+    multi-MB expression tree the analyzer must walk per plan.
+    """
+    paths = list(paths)
+    if len(paths) <= EXCLUDE_ISIN_MAX:
+        return df.filter(~F.col(col).isin(paths)) if paths else df
+    spark = df.sparkSession
+    victims = spark.createDataFrame([(p,) for p in paths], f"{col} string")
+    return df.join(F.broadcast(victims), on=col, how="left_anti")

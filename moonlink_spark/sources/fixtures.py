@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 import pyspark.sql.types as T
 
-from moonlink_spark.functions.image import encode_image, gen_pixels, phash64
+from moonlink_spark.functions.image import decode_image, encode_image, gen_pixels, phash64
 from moonlink_spark.table import MoonTable
 
 IMAGES_SCHEMA = T.StructType(
@@ -154,6 +154,44 @@ def create_images_table(
         num_bins=num_bins,
     )
     return table
+
+
+def expected_decode_stats(
+    n_rows: int, seed: int = 42, resize_to: tuple[int, int] | None = None
+) -> pd.DataFrame:
+    """Generation-time expected values for the multimodal decode/resize
+    queries — the independent side of their correctness oracle.
+
+    Computed SEQUENTIALLY on the driver with plain numpy (no Spark, no
+    Arrow, no mapInPandas): regenerate each image from (seed, seq) alone,
+    apply the codec round-trip (and, for *resize_to*, the same
+    nearest-neighbor index math as pipeline/multimodal.resize_images), and
+    emit (image_id, dec_w, dec_h, mean_px, dec_phash).  Persisted as
+    parquet by the entry queries so DuckDB can read it back — turning the
+    formerly rows-only image queries into fully hash-checked rows: a match
+    proves the distributed Arrow/mapInPandas plumbing reproduces the
+    sequential ground truth byte-for-byte.
+    """
+    out = {"image_id": [], "dec_w": [], "dec_h": [], "mean_px": [], "dec_phash": []}
+    for seq in range(n_rows):
+        row = make_row(seed, seq)
+        px = decode_image(row["bytes"])  # codec round-trip (jpeg quantizes)
+        if resize_to is not None:
+            tw, th = resize_to
+            h, w = px.shape[0], px.shape[1]
+            yi = (np.arange(th) * h // th).clip(0, h - 1)
+            xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+            px = decode_image(encode_image(px[yi][:, xi], row["fmt"]))
+        out["image_id"].append(row["image_id"])
+        out["dec_h"].append(px.shape[0])
+        out["dec_w"].append(px.shape[1])
+        out["mean_px"].append(round(float(px.mean()), 4))
+        out["dec_phash"].append(phash64(px))
+    df = pd.DataFrame(out)
+    df["dec_w"] = df["dec_w"].astype("int32")
+    df["dec_h"] = df["dec_h"].astype("int32")
+    df["dec_phash"] = df["dec_phash"].astype("int64")
+    return df
 
 
 def generate_changes_df(

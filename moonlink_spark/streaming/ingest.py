@@ -176,7 +176,10 @@ def ingest_cdc_dir(
     style events parsed/coerced against the table schema — the
     rest_ingest/json_converter.rs analog, sources/json_cdc.py), or
     "wal2json" (Postgres logical-decoding transaction lines — the
-    pg_replicate analog, sources/wal2json.py)."""
+    pg_replicate analog, sources/wal2json.py), or "avro" (a landed
+    Kafka-topic dump of binary Avro event payloads decoded against the
+    table schema — the rest_ingest/avro_converter.rs analog,
+    sources/avro_cdc.py)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     schema = table.schema
@@ -194,6 +197,13 @@ def ingest_cdc_dir(
 
         stream = stream_wal2json(
             table.spark, changes_dir, schema, table=wal2json_table,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    elif format == "avro":
+        from moonlink_spark.sources.avro_cdc import stream_avro_cdc
+
+        stream = stream_avro_cdc(
+            table.spark, changes_dir, schema,
             max_files_per_trigger=max_files_per_trigger,
         )
     elif format == "parquet":

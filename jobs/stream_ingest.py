@@ -42,8 +42,9 @@ def main() -> None:
     ap.add_argument("--iceberg-mirror", default=None, metavar="DEST_DIR")
     ap.add_argument("--mirror-format-version", type=int, default=2,
                     choices=[2, 3])
-    ap.add_argument("--mirror-keep-versions", type=int, default=None,
-                    metavar="K")
+    ap.add_argument("--mirror-keep-versions", type=int, default=8,
+                    metavar="K", help="coherent mirror retention (0 = keep "
+                    "every version; default matches MaintenancePolicy)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -74,7 +75,7 @@ def main() -> None:
                                              max_unclustered_bytes=1 << 60)
         policy.iceberg_mirror = args.iceberg_mirror
         policy.mirror_format_version = args.mirror_format_version
-        policy.mirror_keep_versions = args.mirror_keep_versions
+        policy.mirror_keep_versions = args.mirror_keep_versions or None
 
     if args.available_now:
         ingest_cdc_dir(

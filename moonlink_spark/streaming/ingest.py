@@ -54,12 +54,15 @@ class MaintenancePolicy:
     # already-current snapshot is a no-op.
     iceberg_mirror: str | None = None
     # each export pins its source snapshot with an iceberg-export-<sid>
-    # tag (sweeps must not reclaim files the mirror references). A
-    # long-running stream would accumulate one pin per epoch; keep only
-    # the newest N pins — older mirror versions become best-effort once
-    # their pins rotate out (the Iceberg mirror-retention trade-off).
-    # None = keep every pin.
-    mirror_keep_pins: int | None = 8
+    # tag (sweeps must not reclaim files the mirror references). "auto"
+    # (the default) derives pin lifecycle from mirror_keep_versions: when
+    # coherent retention is active the expiry itself releases exactly the
+    # expired versions' pins, so no count-based rotation runs (rotating
+    # fewer pins than kept versions would break still-kept versions);
+    # with mirror_keep_versions=None, "auto" falls back to keeping the
+    # newest 8 pins. An int forces count-based rotation; None keeps every
+    # pin.
+    mirror_keep_pins: int | None | str = "auto"
     # Iceberg format version for the mirror: 2 (position-delete parquet,
     # default) or 3 (puffin deletion-vector blobs — the reference's native
     # DV form, deletion_vector.rs:15-21)
@@ -67,11 +70,12 @@ class MaintenancePolicy:
     # Coherent mirror retention: after each export, expire mirror versions
     # beyond the newest N (expire_iceberg_mirror: prunes mirror metadata,
     # deletes mirror-local delete/manifest files, releases the expired
-    # versions' source pins). Unlike mirror_keep_pins — which only rotates
-    # pins and leaves the mirror claiming versions that may break — this
-    # keeps the mirror's metadata and its pins in lockstep. None = grow
-    # forever.
-    mirror_keep_versions: int | None = None
+    # versions' source pins). Unlike count-based pin rotation — which only
+    # rotates pins and leaves the mirror claiming versions that may
+    # break — this keeps the mirror's metadata and its pins in lockstep.
+    # On by default so an out-of-the-box stream cannot grow an incoherent
+    # mirror; None = grow forever.
+    mirror_keep_versions: int | None = 8
 
     def due(self, table: MoonTable) -> bool:
         files = table.data_files()
@@ -140,6 +144,10 @@ def start_cdc_stream(
                     source_table=table,
                 )
             keep = maintenance.mirror_keep_pins
+            if keep == "auto":
+                # coherent retention released expired pins already; only
+                # rotate by count when retention is off
+                keep = 8 if maintenance.mirror_keep_versions is None else None
             if keep is not None:
                 pins = sorted(
                     (sid, name)

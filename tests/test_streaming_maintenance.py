@@ -221,6 +221,16 @@ def test_streaming_mirror_v3_puffin(spark, tmp_table_root, tmp_path):
     assert ice.exceptAll(native).count() == 0
 
 
+def test_policy_defaults_are_coherent():
+    """Out-of-the-box, the mirror cannot grow incoherent: coherent
+    retention is ON (mirror_keep_versions set) and pin rotation derives
+    from it ("auto" → retention releases pins, no count-based rotation
+    that could drop a pin for a still-kept mirror version)."""
+    p = MaintenancePolicy()
+    assert p.mirror_keep_versions == 8
+    assert p.mirror_keep_pins == "auto"
+
+
 def test_streaming_mirror_keep_versions(spark, tmp_table_root, tmp_path):
     """mirror_keep_versions keeps the mirror's metadata and the source
     pins in lockstep: after the drain only the newest K mirror versions
@@ -236,9 +246,11 @@ def test_streaming_mirror_keep_versions(spark, tmp_table_root, tmp_path):
         generate_changes_df(spark, N, n, seed=42, lsn_start=lsn).coalesce(1).write.parquet(
             stage, mode="append" if i else "overwrite"
         )
+    # mirror_keep_pins stays at its "auto" default: coherent retention owns
+    # the pin lifecycle, no count-based rotation must interfere
     policy = MaintenancePolicy(
         cluster_by=BY, max_unclustered_files=10**9,
-        iceberg_mirror=mirror, mirror_keep_versions=2, mirror_keep_pins=None,
+        iceberg_mirror=mirror, mirror_keep_versions=2,
     )
     ingest_cdc_dir(t, stage, os.path.join(str(tmp_path), "ckpt"),
                    max_files_per_trigger=1, maintenance=policy)

@@ -339,6 +339,38 @@ def q_avro_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_initial_copy_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 9/30 analog (pg_replicate/initial_copy.rs:1-219,
+    pg_replicate.rs:240-310): bring an EXISTING populated source under
+    replication — bulk-copy its consistent snapshot at boundary LSN
+    L0=2,000,000 into a fresh table (the copy commit is stamped
+    flush-lsn=L0, streaming/bootstrap.py), then apply the FULL CDC log
+    through the stream with since_lsn=L0. The pre-L0 duplicates are
+    staged as the LAST landing files, so they replay in an epoch AFTER
+    newer post-L0 state — the boundary discard must drop them at the
+    stream edge. Oracle: the full LWW replay (no gap, no duplicate for
+    this split point)."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.streaming.bootstrap import initial_copy
+    from moonlink_spark.streaming.ingest import ingest_cdc_dir
+
+    L0 = 2_000_000
+    ch = _changes_df(spark, sf_dir)
+    # the source database's table as a snapshot export at L0 would see it
+    copy_df = spark.sql(_lww_select(
+        "spark", cols="image_id, bytes, w, h, fmt, caption, phash", lsn_lt=L0
+    ))
+    t = initial_copy(spark, copy_df, _fresh_root("init_copy"),
+                     key_columns=["image_id"], boundary_lsn=L0)
+    stage = _fresh_root("init_copy_src")
+    ch.filter(F.col("lsn") > L0).coalesce(2).write.parquet(stage)
+    ch.filter(F.col("lsn") <= L0).coalesce(2).write.parquet(stage, mode="append")
+    ingest_cdc_dir(t, stage, _fresh_root("init_copy_ckpt"),
+                   max_files_per_trigger=2, since_lsn=L0)
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_iceberg_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-native interop: merge (so position deletes exist), export the
     snapshot as GENUINE Iceberg v2 metadata (JSON + handwritten Avro
@@ -1756,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate replica (tools/check_correctness.py) instead.
     return {
         # --- new this round / newly oracled: must be in the 50-row window
+        "initial_copy_then_cdc": q_initial_copy_then_cdc,
         "avro_cdc_merge": q_avro_cdc_merge,
         "image_decode_stats": q_image_decode_stats,  # oracle NEW r5
         "image_resize": q_image_resize,              # oracle NEW r5
@@ -1851,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         "rest_json_cdc_merge": lww,
         "wal2json_cdc_merge": lww,
         "avro_cdc_merge": lww,
+        "initial_copy_then_cdc": lww,
         # generation-time expected stats, persisted by the queries themselves
         # (sequential driver-side numpy vs distributed Arrow plumbing)
         "image_decode_stats": (

@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--mirror-keep-versions", type=int, default=8,
                     metavar="K", help="coherent mirror retention (0 = keep "
                     "every version; default matches MaintenancePolicy)")
+    # durable ingest WAL: persist each epoch before apply; recover a pruned
+    # source via moonlink_spark.streaming.wal.replay_wal
+    ap.add_argument("--wal-dir", default=None, metavar="DIR")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,6 +87,7 @@ def main() -> None:
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             maintenance=policy,
+            wal_dir=args.wal_dir,
         )
         print(json.dumps({
             "table": args.table,
@@ -109,7 +113,8 @@ def main() -> None:
     if args.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
     q = start_cdc_stream(
-        table, reader.parquet(args.source), args.checkpoint, maintenance=policy
+        table, reader.parquet(args.source), args.checkpoint, maintenance=policy,
+        wal_dir=args.wal_dir,
     )
     q.awaitTermination()
 

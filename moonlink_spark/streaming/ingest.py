@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from moonlink_spark.operators.merge import merge_into
@@ -112,18 +113,42 @@ def start_cdc_stream(
     trigger: dict | None = None,
     query_name: str = "moonlink_cdc",
     maintenance: MaintenancePolicy | None = None,
+    wal_dir: str | None = None,
+    since_lsn: int | None = None,
 ) -> StreamingQuery:
     """Attach a streaming CDC source (op, lsn, <table columns>) to *table*.
 
     Returns the running StreamingQuery; each micro-batch commits one table
     snapshot (operation="merge") or none if the batch is empty. With a
     *maintenance* policy, epochs additionally self-maintain (see
-    MaintenancePolicy)."""
+    MaintenancePolicy).
+
+    With *wal_dir*, every epoch's normalized batch is persisted there
+    BEFORE apply and the merge consumes the durable copy; after the commit
+    the WAL is truncated to the flush-lsn. A crash that outlives the
+    source files is then recoverable via
+    :func:`moonlink_spark.streaming.wal.replay_wal` (the reference's
+    ingest-WAL durability, wal.rs:80-168,1117-1334).
+
+    *since_lsn*: the initial-copy handoff boundary (streaming/bootstrap.py)
+    — events at or below it are already reflected in the copied snapshot
+    and are discarded at the stream edge, JVM-side, before epochs form
+    (pg_replicate.rs:240-310: replication marked at boundary_lsn, seen
+    rows discarded)."""
+    if since_lsn is not None:
+        changes_stream = changes_stream.filter(F.col("lsn") > since_lsn)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if wal_dir is not None:
+            from moonlink_spark.streaming.wal import wal_append, wal_read, wal_truncate
+
+            wal_append(wal_dir, batch_df, batch_id)
+            batch_df = wal_read(table.spark, wal_dir, batch_id, table.schema)
         merge_into(table, batch_df, run_id=f"stream-{batch_id}")
+        if wal_dir is not None:
+            wal_truncate(wal_dir, table.current_flush_lsn())
         if maintenance is not None and batch_id % maintenance.every_n_batches == 0:
             maybe_maintain(table, maintenance, run_id=f"stream-maint-{batch_id}")
         if maintenance is not None and maintenance.iceberg_mirror:
@@ -175,6 +200,8 @@ def ingest_cdc_dir(
     maintenance: MaintenancePolicy | None = None,
     format: str = "parquet",
     wal2json_table: str | None = None,
+    wal_dir: str | None = None,
+    since_lsn: int | None = None,
 ) -> None:
     """Drain a drop-directory of CDC files into *table* and stop
     (Trigger.AvailableNow): the bounded-backfill shape of the continuous
@@ -187,9 +214,11 @@ def ingest_cdc_dir(
     pg_replicate analog, sources/wal2json.py), or "avro" (a landed
     Kafka-topic dump of binary Avro event payloads decoded against the
     table schema — the rest_ingest/avro_converter.rs analog,
-    sources/avro_cdc.py)."""
-    from pyspark.sql import functions as F  # noqa: F401
+    sources/avro_cdc.py).
 
+    *wal_dir*: persist each epoch durably before apply (see
+    start_cdc_stream), so the backfill survives source-directory pruning
+    across a crash."""
     schema = table.schema
     import pyspark.sql.types as T
 
@@ -231,6 +260,7 @@ def ingest_cdc_dir(
     q = start_cdc_stream(
         table, stream, checkpoint_dir, trigger={"availableNow": True},
         query_name="moonlink_cdc_backfill", maintenance=maintenance,
+        wal_dir=wal_dir, since_lsn=since_lsn,
     )
     q.awaitTermination()
 

@@ -334,6 +334,7 @@ class MoonTable:
         num_bins: int | None = None,
         stage_only: bool = False,
         branch: str | None = None,
+        flush_lsn: int | None = None,
     ) -> int:
         """Bulk ingest: write *df* as fresh snappy data files and fast-append
         them (reference: batch_ingestion.rs:20-166 + fast-append in
@@ -354,6 +355,11 @@ class MoonTable:
         staged snapshot parented at the BRANCH head (main's pointer never
         moves), then the branch fast-forwards to it. Read it back with
         scan(ref=branch); publish the whole branch with fast_forward_main.
+
+        *flush_lsn*: stamp the commit with an explicit flush-lsn — used by
+        the initial-copy bootstrap (initial_copy.rs boundary_lsn: the copy
+        snapshot is visible AT that LSN, so CDC apply and read-at-LSN share
+        one axis with it from the first commit).
         """
         run_id = run_id or uuid.uuid4().hex[:12]
         if branch is not None and stage_only:
@@ -390,6 +396,7 @@ class MoonTable:
                     "run_id": run_id,
                     "branch": branch,
                     "staged": True,  # not on main history until fast-forward
+                    **({"flush-lsn": flush_lsn} if flush_lsn is not None else {}),
                 },
                 stage_only=True,
                 parent_override=head,
@@ -404,6 +411,7 @@ class MoonTable:
                 "added-records": sum(f.record_count for f in new_files),
                 "run_id": run_id,
                 **({"staged": True} if stage_only else {}),
+                **({"flush-lsn": flush_lsn} if flush_lsn is not None else {}),
             },
             stage_only=stage_only,
         )

@@ -278,7 +278,10 @@ def _write_puffin_dvs(
     return [r.asDict() for r in rows]
 
 
-def _data_entry(f, schema_by_name, field_ids, snapshot_id: int, seq: int) -> dict:
+def _data_entry(
+    f, schema_by_name, field_ids, snapshot_id: int, seq: int,
+    first_row_id: int | None = None,
+) -> dict:
     lower, upper = [], []
     for name, st in (f.stats or {}).items():
         sf = schema_by_name.get(name)
@@ -305,6 +308,7 @@ def _data_entry(f, schema_by_name, field_ids, snapshot_id: int, seq: int) -> dic
             "file_size_in_bytes": int(f.file_size_bytes),
             "lower_bounds": lower or None,
             "upper_bounds": upper or None,
+            "first_row_id": first_row_id,
         },
     }
 
@@ -536,9 +540,48 @@ def export_iceberg(
                     table, deletes_df, data_dir, prefix=f"icedel-{exported_sid}"
                 )
 
+    # ---- v3 row lineage: stable per-file first_row_id --------------------
+    # Iceberg v3 requires assigned row ids to be IMMUTABLE: a file already
+    # present in the prior export keeps its exact first_row_id (recovered
+    # from the prior snapshot's data manifests); only files NEW to this
+    # export draw fresh ids, and next-row-id advances by their records
+    # alone. A maintenance rewrite produces new file paths, which correctly
+    # re-assign (the rows were physically rewritten).
+    row_id_of: dict[str, int] = {}
+    next_row_id = int(prior.get("next-row-id", 0)) if prior else 0
+    snapshot_first_row_id = next_row_id
+    if format_version >= 3:
+        prior_assign: dict[str, int] = {}
+        if prior:
+            from moonlink_spark.iceberg.reader import (
+                _manifest_entries,
+                _manifest_list_entries,
+            )
+
+            cur = next(
+                s for s in prior["snapshots"]
+                if s["snapshot-id"] == prior["current-snapshot-id"]
+            )
+            for m in _manifest_list_entries(table.spark, cur["manifest-list"]):
+                if m["content"] != 0:
+                    continue
+                for e in _manifest_entries(table.spark, m["manifest_path"]):
+                    if e.get("first_row_id") is not None:
+                        prior_assign[e["file_path"]] = int(e["first_row_id"])
+        for f in sorted(data_files, key=lambda f: norm_path(f.file_path)):
+            p = norm_path(f.file_path)
+            if p in prior_assign:
+                row_id_of[p] = prior_assign[p]
+            else:
+                row_id_of[p] = next_row_id
+                next_row_id += int(f.record_count)
+
     # ---- manifests + manifest list ---------------------------------------
     data_entries = [
-        _data_entry(f, schema_by_name, field_ids, exported_sid, data_seq)
+        _data_entry(
+            f, schema_by_name, field_ids, exported_sid, data_seq,
+            first_row_id=row_id_of.get(norm_path(f.file_path)),
+        )
         for f in data_files
     ]
     if format_version >= 3:
@@ -599,10 +642,9 @@ def export_iceberg(
         "schema-id": schema_id,
     }
     if format_version >= 3:
-        # v3 row lineage: each snapshot records the first row-id it may
-        # assign; the table tracks the next unassigned id
-        first_row_id = prior.get("next-row-id", 0) if prior else 0
-        new_snapshot["first-row-id"] = first_row_id
+        # v3 row lineage: the snapshot records the first row-id it may
+        # assign (ids below it belong to files carried forward unchanged)
+        new_snapshot["first-row-id"] = snapshot_first_row_id
     if new_snapshot["parent-snapshot-id"] is None:
         new_snapshot.pop("parent-snapshot-id")
     tmeta = {
@@ -648,7 +690,8 @@ def export_iceberg(
         ),
     }
     if format_version >= 3:
-        tmeta["next-row-id"] = new_snapshot["first-row-id"] + total_records
+        # advanced only by NEWLY-assigned records, not the whole table
+        tmeta["next-row-id"] = next_row_id
     new_version = prior_version + 1
     meta_path = os.path.join(metadata_dir, f"v{new_version}.metadata.json")
     with open(meta_path + ".tmp", "w") as f:

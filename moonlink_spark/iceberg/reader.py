@@ -87,6 +87,7 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
                     "file_format": str(df.get("file_format")),
                     "record_count": int(df.get("record_count")),
                     "equality_ids": _ids(df.get("equality_ids")),
+                    "first_row_id": _opt(df.get("first_row_id"), int),
                     "referenced_data_file": _opt(df.get("referenced_data_file"), str),
                     "content_offset": _opt(df.get("content_offset"), int),
                     "content_size_in_bytes": _opt(
@@ -108,6 +109,7 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
                 "file_format": r["data_file"].get("file_format", "PARQUET"),
                 "record_count": r["data_file"]["record_count"],
                 "equality_ids": r["data_file"].get("equality_ids"),
+                "first_row_id": r["data_file"].get("first_row_id"),
                 "referenced_data_file": r["data_file"].get("referenced_data_file"),
                 "content_offset": r["data_file"].get("content_offset"),
                 "content_size_in_bytes": r["data_file"].get("content_size_in_bytes"),

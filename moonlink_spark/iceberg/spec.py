@@ -114,6 +114,16 @@ def manifest_entry_schema() -> dict:
                 "default": None,
                 "field-id": 135,
             },
+            # v3 row lineage (optional, null for v2 entries): the id
+            # assigned to this data file's first row — IMMUTABLE across
+            # exports (spec field 142); readers derive row ids as
+            # first_row_id + position
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 142,
+            },
             # v3 deletion-vector fields (optional, null for v2 entries):
             # the puffin blob a DV entry points into
             {

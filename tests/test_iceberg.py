@@ -880,3 +880,61 @@ def test_import_converts_equality_deletes(spark, tmp_path):
     # and the SCAN path still rejects eq-deletes with a clear error
     with pytest.raises(ValueError, match="equality"):
         read_iceberg_scan(spark, str(root))
+
+
+def test_v3_row_lineage_stable_across_exports(spark, tmp_path):
+    """Iceberg v3 row ids are IMMUTABLE: a data file carried forward from
+    the prior export keeps its exact first_row_id; only files new to the
+    export draw fresh ids, next-row-id advances by their records alone,
+    and the new snapshot's first-row-id equals the prior next-row-id.
+    Ref semantics: Iceberg spec v3 row lineage (assigned ids never change
+    for existing rows)."""
+    from moonlink_spark.iceberg.reader import (
+        _manifest_entries,
+        _manifest_list_entries,
+        load_iceberg_metadata,
+    )
+
+    def assignments(dest):
+        meta = load_iceberg_metadata(dest)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        out = {}
+        for m in _manifest_list_entries(spark, cur["manifest-list"]):
+            if m["content"] != 0:
+                continue
+            for e in _manifest_entries(spark, m["manifest_path"]):
+                out[e["file_path"]] = (int(e["first_row_id"]),
+                                       int(e["record_count"]))
+        return meta, cur, out
+
+    t = create_images_table(spark, str(tmp_path / "tbl"), 500, seed=42)
+    dest = str(tmp_path / "ice3")
+    export_iceberg(t, dest, format_version=3)
+    meta1, snap1, a1 = assignments(dest)
+    n1 = int(meta1["next-row-id"])
+    assert n1 == sum(rc for _, rc in a1.values())
+    # disjoint, gap-free coverage from 0 for the first export
+    spans = sorted(a1.values())
+    assert spans[0][0] == 0
+    for (s0, c0), (s1b, _) in zip(spans, spans[1:]):
+        assert s0 + c0 == s1b
+
+    # second export: DVs on old files + brand-new insert files
+    merge_into(t, generate_changes_df(spark, 500, 120, seed=42), run_id="m1")
+    export_iceberg(t, dest, format_version=3)
+    meta2, snap2, a2 = assignments(dest)
+
+    carried = set(a1) & set(a2)
+    assert carried, "merge should leave some original data files in place"
+    for p in carried:
+        assert a2[p] == a1[p], f"row ids for carried-over file {p} changed"
+    new_files = set(a2) - set(a1)
+    assert new_files, "merge inserts should add new data files"
+    assert all(a2[p][0] >= n1 for p in new_files)
+    assert int(snap2["first-row-id"]) == n1
+    assert int(meta2["next-row-id"]) == n1 + sum(
+        a2[p][1] for p in new_files
+    )

@@ -48,6 +48,11 @@ def main() -> None:
     # durable ingest WAL: persist each epoch before apply; recover a pruned
     # source via moonlink_spark.streaming.wal.replay_wal
     ap.add_argument("--wal-dir", default=None, metavar="DIR")
+    ap.add_argument("--source-format", default="parquet",
+                    choices=["parquet", "json", "wal2json", "avro",
+                             "avro_wire"])
+    ap.add_argument("--avro-registry", default=None, metavar="DIR",
+                    help="schema-registry dir for --source-format avro_wire")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -87,7 +92,9 @@ def main() -> None:
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             maintenance=policy,
+            format=args.source_format,
             wal_dir=args.wal_dir,
+            avro_registry_dir=args.avro_registry,
         )
         print(json.dumps({
             "table": args.table,

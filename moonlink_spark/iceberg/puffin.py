@@ -15,7 +15,9 @@ Implements, from the PUBLIC specs only:
     (https://github.com/RoaringBitmap/RoaringFormatSpec — "extension for
     64-bit implementations"): u64-LE bucket count, then per bucket a u32-LE
     high key followed by a standard 32-bit roaring bitmap (array containers
-    ≤4096 values, bitmap containers above; we never emit run containers).
+    ≤4096 values, bitmap containers above, run containers whenever the run
+    form is strictly smaller — the same rule as the Java library's
+    runOptimize(), so dense DVs serialize byte-identically to Java's).
 
 All bitmap packing/unpacking is numpy-vectorized — no per-position Python
 loops — so an executor task converting a multi-million-row DV stays fast.
@@ -43,19 +45,54 @@ _ARRAY_MAX = 4096
 
 
 # --------------------------------------------------------------- roaring
-def _serialize_roaring32(values: np.ndarray) -> bytes:
-    """Standard 32-bit roaring serialization of sorted uint32 values
-    (array + bitmap containers only; cookie 12346 with offset header)."""
+_NO_OFFSET_THRESHOLD = 4  # run-cookie streams under 4 containers omit offsets
+
+
+def _rle_runs(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """RLE of sorted unique low-16 values → (starts, lengths-1), both u32."""
+    if len(vals) == 0:
+        return np.empty(0, np.uint32), np.empty(0, np.uint32)
+    brk = np.nonzero(np.diff(vals) != 1)[0]
+    si = np.concatenate(([0], brk + 1))
+    ei = np.concatenate((brk, [len(vals) - 1]))
+    return vals[si], vals[ei] - vals[si]
+
+
+def _serialize_roaring32(values: np.ndarray, run_optimize: bool = True) -> bytes:
+    """Standard 32-bit roaring serialization of sorted uint32 values.
+
+    With run_optimize (the default) each container is run-encoded exactly
+    when the Java reference library's runOptimize() would convert it —
+    run form (2 + 4*n_runs bytes) strictly smaller than the array
+    (2*card) / bitmap (8192) form — and the stream carries cookie 12347
+    with the run bitset; otherwise cookie 12346. Byte-identical to
+    RoaringBitmap's serialize() for the same value set either way."""
     hi = (values >> np.uint32(16)).astype(np.uint16)
     lo = (values & np.uint32(0xFFFF)).astype(np.uint16)
     keys, starts, counts = np.unique(hi, return_index=True, return_counts=True)
     size = len(keys)
 
-    parts: list[bytes] = []
     container_bytes: list[bytes] = []
+    run_flags = bytearray((size + 7) // 8)
+    has_run = False
     for i in range(size):
         vals = lo[starts[i] : starts[i] + counts[i]]
-        if counts[i] <= _ARRAY_MAX:
+        card = int(counts[i])
+        if run_optimize:
+            rstarts, rlens = _rle_runs(vals.astype(np.uint32))
+            run_size = 2 + 4 * len(rstarts)
+            plain_size = 2 * card if card <= _ARRAY_MAX else 8192
+            if run_size < plain_size:
+                has_run = True
+                run_flags[i // 8] |= 1 << (i % 8)
+                runs = np.empty(len(rstarts) * 2, dtype="<u2")
+                runs[0::2] = rstarts
+                runs[1::2] = rlens
+                container_bytes.append(
+                    struct.pack("<H", len(rstarts)) + runs.tobytes()
+                )
+                continue
+        if card <= _ARRAY_MAX:
             container_bytes.append(vals.astype("<u2").tobytes())
         else:
             words = np.zeros(1024, dtype=np.uint64)
@@ -66,19 +103,27 @@ def _serialize_roaring32(values: np.ndarray) -> bytes:
             )
             container_bytes.append(words.astype("<u8").tobytes())
 
-    parts.append(struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, size))
+    parts: list[bytes] = []
+    if has_run:
+        parts.append(struct.pack("<I", ((size - 1) << 16) | _SERIAL_COOKIE_RUN))
+        parts.append(bytes(run_flags))
+        base = 4 + len(run_flags) + 4 * size
+    else:
+        parts.append(struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, size))
+        base = 8 + 4 * size
     desc = np.empty(size * 2, dtype="<u2")
     desc[0::2] = keys
     desc[1::2] = (counts - 1).astype("<u2")
     parts.append(desc.tobytes())
-    # offset header: byte offset of each container from the stream start
-    base = 8 + 4 * size + 4 * size
-    offsets = np.empty(size, dtype="<u4")
-    acc = base
-    for i in range(size):
-        offsets[i] = acc
-        acc += len(container_bytes[i])
-    parts.append(offsets.tobytes())
+    if not has_run or size >= _NO_OFFSET_THRESHOLD:
+        # offset header: byte offset of each container from the stream start
+        base += 4 * size
+        offsets = np.empty(size, dtype="<u4")
+        acc = base
+        for i in range(size):
+            offsets[i] = acc
+            acc += len(container_bytes[i])
+        parts.append(offsets.tobytes())
     parts.extend(container_bytes)
     return b"".join(parts)
 
@@ -142,7 +187,7 @@ def _deserialize_roaring32(buf: memoryview, pos: int) -> tuple[np.ndarray, int]:
     return vals, p
 
 
-def serialize_roaring64(positions) -> bytes:
+def serialize_roaring64(positions, run_optimize: bool = True) -> bytes:
     """Portable 64-bit roaring bytes for a set of u64 positions."""
     pos = np.unique(np.asarray(positions, dtype=np.uint64))
     high = (pos >> np.uint64(32)).astype(np.uint32)
@@ -153,7 +198,7 @@ def serialize_roaring64(positions) -> bytes:
             np.uint32
         )
         parts.append(struct.pack("<I", int(keys[i])))
-        parts.append(_serialize_roaring32(sub))
+        parts.append(_serialize_roaring32(sub, run_optimize=run_optimize))
     return b"".join(parts)
 
 
@@ -240,8 +285,44 @@ def write_puffin(path: str, blobs: list[dict], properties: dict | None = None) -
     return {"file_size": os.path.getsize(path), "blobs": metas}
 
 
+def _lz4_frame_decompress(comp: bytes) -> bytes:
+    """Decompress an LZ4 FRAME stream (the codec the Puffin spec fixes for
+    compressed footers) using pyarrow's bundled lz4.
+
+    pyarrow's Codec API demands the exact decompressed size up front, which
+    an external footer doesn't advertise; decompression succeeds (padded)
+    for any size >= the true length and fails for any smaller, so the
+    minimal successful size — found by doubling then binary search — IS the
+    exact payload length. A footer is a few KB; the ~30 probe calls are
+    nothing."""
+    import pyarrow as pa
+
+    codec = pa.Codec("lz4")
+    lo, hi = 1, max(4 * len(comp), 4096)
+    while True:
+        try:
+            codec.decompress(comp, hi)
+            break
+        except (OSError, pa.lib.ArrowException):
+            lo = hi + 1
+            hi *= 4
+            if hi > 1 << 31:
+                raise ValueError("lz4 puffin footer implausibly large")
+    while lo < hi:
+        mid = (lo + hi) // 2
+        try:
+            codec.decompress(comp, mid)
+            hi = mid
+        except (OSError, pa.lib.ArrowException):
+            lo = mid + 1
+    return bytes(codec.decompress(comp, lo))
+
+
 def read_puffin_footer(path: str) -> dict:
-    """Parse the FileMetadata JSON from a Puffin file's footer."""
+    """Parse the FileMetadata JSON from a Puffin file's footer. Handles
+    both uncompressed and LZ4-frame-compressed footer payloads (flag bit 0
+    of the footer Flags word, per the Puffin spec) — external writers like
+    Iceberg's PuffinWriter may compress."""
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         f.seek(size - 12)
@@ -250,8 +331,6 @@ def read_puffin_footer(path: str) -> dict:
             raise ValueError(f"{path}: bad puffin trailing magic")
         (payload_len,) = struct.unpack_from("<I", tail, 0)
         flags = tail[4:8]
-        if flags[0] & 0x01:
-            raise ValueError(f"{path}: compressed puffin footer unsupported")
         f.seek(size - 12 - payload_len - 4)
         head = f.read(4)
         payload = f.read(payload_len)
@@ -260,6 +339,8 @@ def read_puffin_footer(path: str) -> dict:
         f.seek(0)
         if f.read(4) != PUFFIN_MAGIC:
             raise ValueError(f"{path}: bad puffin header magic")
+    if flags[0] & 0x01:
+        payload = _lz4_frame_decompress(payload)
     return json.loads(payload.decode())
 
 

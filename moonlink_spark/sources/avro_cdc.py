@@ -473,3 +473,306 @@ def _validate_ops(df: DataFrame, strict: bool) -> DataFrame:
             ))).otherwise(F.col("op")),
         )
     return df.filter(~bad)
+
+
+# ------------------------------------------------- schema-registry analog
+
+_WIRE_MAGIC = 0  # Confluent wire format: 0x00 + schema-id (u32 BE) + body
+
+
+def _canonical(schema: dict | str) -> str:
+    import json as _json
+
+    if isinstance(schema, str):
+        schema = _json.loads(schema)
+    return _json.dumps(schema, sort_keys=True, separators=(",", ":"))
+
+
+def register_avro_schema(registry_dir: str, schema: dict | str) -> int:
+    """File-dir analog of the reference's Avro schema-registration endpoint
+    (moonlink_service/src/rest_api.rs:122-135): persist *schema* under the
+    next integer id as ``{id}.avsc`` and return the id. Re-registering a
+    semantically identical schema returns the existing id (the Confluent
+    schema-registry contract). Ids are claimed with exclusive-create, so
+    concurrent registrars never collide."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(registry_dir, exist_ok=True)
+    want = _canonical(schema)
+    while True:
+        existing = load_avro_registry(registry_dir)
+        for sid, sch in existing.items():
+            if _canonical(sch) == want:
+                return sid
+        sid = max(existing, default=0) + 1
+        path = _os.path.join(registry_dir, f"{sid}.avsc")
+        try:
+            fd = _os.open(path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            continue  # raced another registrar; rescan
+        with _os.fdopen(fd, "w") as f:
+            f.write(_json.dumps(_json.loads(want)))
+        return sid
+
+
+def load_avro_registry(registry_dir: str) -> dict[int, dict]:
+    """All registered schemas, id → parsed Avro schema JSON."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    out: dict[int, dict] = {}
+    for p in _glob.glob(_os.path.join(registry_dir, "*.avsc")):
+        stem = _os.path.splitext(_os.path.basename(p))[0]
+        if stem.isdigit():
+            with open(p) as f:
+                out[int(stem)] = _json.load(f)
+    return out
+
+
+def avro_to_spark_type(avro_t: object) -> tuple[T.DataType, bool]:
+    """Inverse of _avro_type for the supported subset: returns
+    (spark type, nullable). Unions other than [null, X] are rejected."""
+    if isinstance(avro_t, list):
+        branches = [b for b in avro_t if b != "null"]
+        if len(branches) != 1 or len(branches) == len(avro_t):
+            raise TypeError(f"only [null, T] Avro unions are supported: {avro_t}")
+        inner, _ = avro_to_spark_type(branches[0])
+        return inner, True
+    if isinstance(avro_t, str):
+        prim = {"string": T.StringType(), "int": T.IntegerType(),
+                "long": T.LongType(), "boolean": T.BooleanType(),
+                "float": T.FloatType(), "double": T.DoubleType(),
+                "bytes": T.BinaryType()}
+        if avro_t in prim:
+            return prim[avro_t], False
+        raise TypeError(f"unsupported Avro type {avro_t!r}")
+    if isinstance(avro_t, dict):
+        lt = avro_t.get("logicalType")
+        if lt == "timestamp-micros":
+            return T.TimestampType(), False
+        if lt == "date":
+            return T.DateType(), False
+        kind = avro_t["type"]
+        if kind in ("string", "int", "long", "boolean", "float", "double", "bytes"):
+            return avro_to_spark_type(kind)
+        if kind == "record":
+            return (
+                T.StructType([
+                    T.StructField(f["name"], *avro_to_spark_type(f["type"]))
+                    for f in avro_t["fields"]
+                ]),
+                False,
+            )
+        if kind == "array":
+            et, en = avro_to_spark_type(avro_t["items"])
+            return T.ArrayType(et, en), False
+        if kind == "map":
+            vt, vn = avro_to_spark_type(avro_t["values"])
+            return T.MapType(T.StringType(), vt, vn), False
+    raise TypeError(f"unsupported Avro type {avro_t!r}")
+
+
+def avro_to_spark_schema(schema: dict) -> T.StructType:
+    """A registered cdc_event record schema as a Spark struct (op + lsn +
+    that version's columns). Rejects records without the op/lsn envelope —
+    a registered CDC schema must carry the event framing."""
+    if schema.get("type") != "record":
+        raise TypeError("registered CDC schema must be an Avro record")
+    st = avro_to_spark_type(schema)[0]
+    names = {f.name for f in st.fields}
+    if "op" not in names or "lsn" not in names:
+        raise ValueError("registered CDC schema lacks the op/lsn envelope")
+    return st
+
+
+# ----------------------------------------------- Kafka wire-format decode
+
+def stage_avro_wire_dump(changes_df: DataFrame, path: str, schema_id: int) -> None:
+    """stage_avro_dump with Confluent wire framing: each payload is
+    ``0x00 + schema-id (u32 BE) + avro body`` referencing a registered
+    schema — the landed form of a topic produced through a schema
+    registry."""
+    frame = struct.pack(">bI", _WIRE_MAGIC, schema_id)
+    row_schema = T.StructType(
+        [f for f in changes_df.schema.fields if f.name not in ("op", "lsn")]
+    )
+    event = _event_struct(row_schema)
+    encs = [(f.name, _compile_encoder(f.dataType, f.nullable)) for f in event.fields]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rec in pdf.to_dict("records"):
+                out = io.BytesIO()
+                out.write(frame)
+                for name, enc in encs:
+                    v = rec.get(name)
+                    if v is not None and pd.api.types.is_scalar(v) and pd.isna(v):
+                        v = None
+                    enc(out, v)
+                payloads.append(out.getvalue())
+            yield pd.DataFrame({"value": payloads})
+
+    cols = ["op", "lsn"] + [f.name for f in changes_df.schema.fields
+                            if f.name not in ("op", "lsn")]
+    (changes_df.select(*cols)
+     .mapInPandas(encode, "value binary")
+     .write.mode("overwrite").parquet(path))
+
+
+def read_avro_cdc_wire(
+    spark: SparkSession,
+    path: str,
+    table_schema: T.StructType,
+    registry_dir: str,
+    strict: bool = True,
+    value_col: str = "value",
+) -> DataFrame:
+    """Parse a landed wire-format topic dump: each event names its schema
+    by registry id, events written under DIFFERENT schema versions coexist
+    in one dump, and every version is decoded with ITS schema then coerced
+    to the current *table_schema* (columns added since that version →
+    NULL; columns dropped since → discarded) — the reference's converter
+    semantics for evolving registered schemas (avro_converter.rs)."""
+    raw = spark.read.parquet(path)
+    return _decode_wire(raw, table_schema, registry_dir, strict, value_col)
+
+
+def stream_avro_cdc_wire(
+    spark: SparkSession,
+    path: str,
+    table_schema: T.StructType,
+    registry_dir: str,
+    max_files_per_trigger: int | None = None,
+    strict: bool = True,
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of read_avro_cdc_wire. The registry is snapshotted at
+    stream construction — register new versions, then (re)start the stream,
+    matching how the reference picks up schema registrations."""
+    reader = spark.readStream.schema(f"{value_col} binary")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _decode_wire(reader.parquet(path), table_schema, registry_dir,
+                        strict, value_col)
+
+
+def _decode_wire(raw: DataFrame, table_schema: T.StructType, registry_dir: str,
+                 strict: bool, value_col: str) -> DataFrame:
+    registry = load_avro_registry(registry_dir)
+    if not registry:
+        raise ValueError(f"empty Avro schema registry at {registry_dir}")
+    # each version: (registered schema JSON verbatim — it defines the wire
+    # layout, so the JVM decoder gets it untouched — , its Spark struct)
+    versions = {sid: (registry[sid], avro_to_spark_schema(registry[sid]))
+                for sid in registry}
+    event = _event_struct(table_schema)
+
+    # wire framing parsed JVM-side: magic byte + u32 BE schema id + body
+    v = F.col(value_col)
+    framed = raw.select(
+        F.conv(F.hex(F.substring(v, 1, 1)), 16, 10).cast("int").alias("_magic"),
+        F.conv(F.hex(F.substring(v, 2, 4)), 16, 10).cast("int").alias("_sid"),
+        F.expr(f"substring({value_col}, 6, length({value_col}) - 5)").alias("_body"),
+        F.length(v).alias("_len"),
+    )
+    known = sorted(versions)
+    bad = (
+        F.col("_len") < F.lit(6)
+    ) | (F.col("_magic") != F.lit(_WIRE_MAGIC)) | (~F.col("_sid").isin(known))
+    if strict:
+        framed = framed.withColumn(
+            "_sid",
+            F.when(bad, F.raise_error(F.concat(
+                F.lit("malformed wire-format avro CDC event: magic="),
+                F.col("_magic").cast("string"),
+                F.lit(" schema-id="), F.col("_sid").cast("string"),
+                F.lit(" len="), F.col("_len").cast("string"),
+            ))).otherwise(F.col("_sid")),
+        )
+    else:
+        framed = framed.filter(~bad)
+
+    jvm = _try_jvm_decode_wire(framed, event, versions, strict)
+    if jvm is not None:
+        return jvm
+    return _python_decode_wire(framed, event, versions, strict)
+
+
+def _align_to_event(decoded: DataFrame, event: T.StructType) -> DataFrame:
+    """Project a version's decoded rows onto the CURRENT event struct:
+    missing columns become typed NULLs, extra (since-dropped) columns are
+    discarded."""
+    have = {f.name: f for f in decoded.schema.fields}
+    cols = []
+    for f in event.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return decoded.select(*cols)
+
+
+def _try_jvm_decode_wire(framed, event, versions, strict):
+    """spark-avro path: one filtered from_avro branch per registered
+    version (registry cardinality is schema-version count — a handful),
+    unioned after alignment to the current event struct."""
+    import json as _json
+
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        mode = "FAILFAST" if strict else "PERMISSIVE"
+        out = None
+        for sid, (raw_schema, _st) in sorted(versions.items()):
+            schema_json = _json.dumps(raw_schema)
+            dec = (framed.filter(F.col("_sid") == sid)
+                   .select(from_avro(F.col("_body"), schema_json,
+                                     {"mode": mode}).alias("ev"))
+                   .select("ev.*"))
+            dec.schema  # force analysis: raises without the avro jar
+            aligned = _align_to_event(dec, event)
+            out = aligned if out is None else out.unionByName(aligned)
+        return _validate_ops(out, strict)
+    except Exception:
+        return None
+
+
+def _python_decode_wire(framed, event, versions, strict):
+    """Arrow-batched fallback: per-version decoder tables compiled once;
+    each row is decoded with the decoder its schema id names and emitted
+    on the current event struct (absent columns → None)."""
+    dec_by_sid = {
+        sid: [(f.name, _compile_decoder(f.dataType, f.nullable))
+              for f in st.fields]
+        for sid, (_raw, st) in versions.items()
+    }
+    out_names = [f.name for f in event.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["_sid"], pdf["_body"]):
+                try:
+                    decs = dec_by_sid[int(sid)]
+                    buf = bytes(payload)
+                    pos = 0
+                    row = {}
+                    for name, dec in decs:
+                        row[name], pos = dec(buf, pos)
+                    if pos != len(buf):
+                        raise ValueError(f"{len(buf) - pos} trailing bytes")
+                    if row["op"] not in _OPS:
+                        raise ValueError(f"unknown op {row['op']!r}")
+                except Exception as e:
+                    if strict:
+                        raise ValueError(
+                            f"malformed avro CDC event (schema-id {sid}): {e}"
+                        ) from e
+                    continue
+                rows.append({n: row.get(n) for n in out_names})
+            yield pd.DataFrame(rows, columns=out_names)
+
+    return framed.mapInPandas(decode, event)

@@ -202,6 +202,7 @@ def ingest_cdc_dir(
     wal2json_table: str | None = None,
     wal_dir: str | None = None,
     since_lsn: int | None = None,
+    avro_registry_dir: str | None = None,
 ) -> None:
     """Drain a drop-directory of CDC files into *table* and stop
     (Trigger.AvailableNow): the bounded-backfill shape of the continuous
@@ -211,10 +212,13 @@ def ingest_cdc_dir(
     style events parsed/coerced against the table schema — the
     rest_ingest/json_converter.rs analog, sources/json_cdc.py), or
     "wal2json" (Postgres logical-decoding transaction lines — the
-    pg_replicate analog, sources/wal2json.py), or "avro" (a landed
+    pg_replicate analog, sources/wal2json.py), "avro" (a landed
     Kafka-topic dump of binary Avro event payloads decoded against the
     table schema — the rest_ingest/avro_converter.rs analog,
-    sources/avro_cdc.py).
+    sources/avro_cdc.py), or "avro_wire" (Confluent wire framing; each
+    event names its registered schema version by id in
+    *avro_registry_dir*, mixed versions coerce to the current table
+    schema — the rest_api.rs schema-registration analog).
 
     *wal_dir*: persist each epoch durably before apply (see
     start_cdc_stream), so the backfill survives source-directory pruning
@@ -241,6 +245,15 @@ def ingest_cdc_dir(
 
         stream = stream_avro_cdc(
             table.spark, changes_dir, schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    elif format == "avro_wire":
+        from moonlink_spark.sources.avro_cdc import stream_avro_cdc_wire
+
+        if not avro_registry_dir:
+            raise ValueError("format='avro_wire' requires avro_registry_dir")
+        stream = stream_avro_cdc_wire(
+            table.spark, changes_dir, schema, avro_registry_dir,
             max_files_per_trigger=max_files_per_trigger,
         )
     elif format == "parquet":

@@ -200,3 +200,142 @@ def test_avro_codec_matches_java_avro(spark):
     assert str(jrec.get("image_id")) == "gone"
     assert jrec.get("w") is None and jrec.get("flag") is False
     assert jrec.get("blob") is None
+
+
+# ------------------------------------------- schema registry + wire format
+
+OLD_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("w", T.IntegerType(), True),
+])
+
+
+def test_avro_registry_idempotent(tmp_path):
+    """Registering a semantically identical schema returns the existing id
+    (Confluent contract); a different schema draws the next id."""
+    from moonlink_spark.sources.avro_cdc import (
+        load_avro_registry,
+        register_avro_schema,
+    )
+
+    reg = str(tmp_path / "registry")
+    s1 = spark_to_avro_schema(OLD_SCHEMA)
+    s2 = spark_to_avro_schema(SCHEMA)
+    id1 = register_avro_schema(reg, s1)
+    assert register_avro_schema(reg, json.dumps(s1)) == id1
+    id2 = register_avro_schema(reg, s2)
+    assert id2 != id1
+    assert set(load_avro_registry(reg)) == {id1, id2}
+
+
+def test_avro_schema_inversion():
+    """avro_to_spark_schema inverts spark_to_avro_schema on the supported
+    subset, preserving nullability and nested types."""
+    from moonlink_spark.sources.avro_cdc import avro_to_spark_schema
+
+    nested = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("meta", T.StructType([
+            T.StructField("x", T.LongType(), True)]), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.DoubleType(), True), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    st = avro_to_spark_schema(spark_to_avro_schema(nested))
+    assert st == _event_struct(nested)
+
+    with pytest.raises(ValueError, match="op/lsn"):
+        avro_to_spark_schema(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "a", "type": "string"}]})
+
+
+def test_avro_wire_multi_version_decode_and_merge(spark, tmp_path):
+    """Confluent wire framing (0x00 + schema-id + body): events produced
+    under TWO registered schema versions coexist in one landed dump; each
+    decodes with its own version and coerces onto the current table schema
+    (since-added columns → NULL), then merges — the reference's evolving
+    registered-schema converter semantics (avro_converter.rs,
+    rest_api.rs:122-135)."""
+    import shutil
+
+    from moonlink_spark.sources.avro_cdc import (
+        read_avro_cdc_wire,
+        register_avro_schema,
+        stage_avro_wire_dump,
+    )
+
+    reg = str(tmp_path / "registry")
+    id_old = register_avro_schema(reg, spark_to_avro_schema(OLD_SCHEMA))
+    id_new = register_avro_schema(reg, spark_to_avro_schema(SCHEMA))
+
+    old_ev = T.StructType([
+        T.StructField("op", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        *OLD_SCHEMA.fields,
+    ])
+    d1 = spark.createDataFrame(
+        [("I", 10, "a1", 640), ("I", 10, "a2", 480)], old_ev)
+    d2 = spark.createDataFrame(
+        [("U", 20, "a1", 1024, True, bytearray(b"\x01\x02")),
+         ("D", 20, "a2", None, None, None)], EV_SCHEMA)
+    stage_avro_wire_dump(d1, str(tmp_path / "b1"), id_old)
+    stage_avro_wire_dump(d2, str(tmp_path / "b2"), id_new)
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    for i, b in enumerate(("b1", "b2")):
+        for f in (tmp_path / b).glob("*.parquet"):
+            shutil.copy(f, topic / f"{i}-{f.name}")
+
+    ch = read_avro_cdc_wire(spark, str(topic), SCHEMA, reg)
+    assert ch.schema == _event_struct(SCHEMA)
+    got = {(r["op"], r["image_id"]): r for r in ch.collect()}
+    assert set(got) == {("I", "a1"), ("I", "a2"), ("U", "a1"), ("D", "a2")}
+    # old-version rows surface the since-added columns as NULL
+    assert got[("I", "a1")]["flag"] is None and got[("I", "a1")]["blob"] is None
+    assert got[("U", "a1")]["flag"] is True
+
+    t = MoonTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key_columns=["image_id"])
+    merge_into(t, ch, run_id="m1")
+    final = {r["image_id"]: r for r in t.scan().collect()}
+    assert set(final) == {"a1"}
+    assert final["a1"]["w"] == 1024 and final["a1"]["flag"] is True
+
+
+def test_avro_wire_strict_rejects(spark, tmp_path):
+    """Strict mode fails loudly on bad magic, unknown schema id, or a
+    truncated frame; non-strict drops those rows and keeps the rest."""
+    import struct as _struct
+
+    from moonlink_spark.sources.avro_cdc import (
+        read_avro_cdc_wire,
+        register_avro_schema,
+        stage_avro_wire_dump,
+    )
+
+    reg = str(tmp_path / "registry")
+    sid = register_avro_schema(reg, spark_to_avro_schema(OLD_SCHEMA))
+    old_ev = T.StructType([
+        T.StructField("op", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        *OLD_SCHEMA.fields,
+    ])
+    stage_avro_wire_dump(
+        spark.createDataFrame([("I", 5, "ok", 1)], old_ev),
+        str(tmp_path / "good"), sid)
+    good = spark.read.parquet(str(tmp_path / "good")).collect()[0]["value"]
+    bad_rows = [
+        (bytearray(b"\x07" + bytes(good[1:])),),            # bad magic
+        (bytearray(_struct.pack(">bI", 0, 999) + bytes(good[5:])),),  # unknown id
+        (bytearray(b"\x00\x00"),),                          # truncated
+        (bytearray(bytes(good)),),                          # valid row rides along
+    ]
+    spark.createDataFrame(bad_rows, "value binary") \
+        .write.parquet(str(tmp_path / "mixed"))
+
+    with pytest.raises(Exception, match="malformed"):
+        read_avro_cdc_wire(spark, str(tmp_path / "mixed"), OLD_SCHEMA, reg).collect()
+    kept = read_avro_cdc_wire(spark, str(tmp_path / "mixed"), OLD_SCHEMA, reg,
+                              strict=False).collect()
+    assert [(r["op"], r["image_id"]) for r in kept] == [("I", "ok")]

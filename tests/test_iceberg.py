@@ -938,3 +938,95 @@ def test_v3_row_lineage_stable_across_exports(spark, tmp_path):
     assert int(meta2["next-row-id"]) == n1 + sum(
         a2[p][1] for p in new_files
     )
+
+
+def test_roaring64_run_emission_byte_golden_vs_java(spark):
+    """The writer now EMITS run containers (cookie 12347) exactly where the
+    Java reference library's runOptimize() converts — run form strictly
+    smaller than the array/bitmap form — so the portable stream for a
+    run-heavy DV is BYTE-IDENTICAL to RoaringBitmap's, and Java decodes
+    ours. Mixed case: bitmap→run, array kept, array→run, second bucket."""
+    import numpy as np
+
+    from moonlink_spark.iceberg.puffin import (
+        deserialize_roaring64,
+        serialize_roaring64,
+    )
+
+    want = np.concatenate([
+        np.arange(100, 50_000, dtype=np.uint64),        # bitmap → run
+        np.array([70_001, 70_003], dtype=np.uint64),    # 2-value array stays
+        np.arange(131_072, 133_072, dtype=np.uint64),   # array → run
+        np.arange((1 << 33) + 5, (1 << 33) + 4_000, dtype=np.uint64),
+    ])
+    ser = serialize_roaring64(want)
+    assert np.array_equal(deserialize_roaring64(ser), want)
+    # dense DV collapses ~100x vs the run-free form
+    assert len(ser) < len(serialize_roaring64(want, run_optimize=False)) // 50
+
+    jvm = spark.sparkContext._jvm
+    rb = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rb.addRange(100, 50_000)
+    rb.addLong(70_001)
+    rb.addLong(70_003)
+    rb.addRange(131_072, 133_072)
+    rb.addRange((1 << 33) + 5, (1 << 33) + 4_000)
+    rb.runOptimize()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    rb.serializePortable(jvm.java.io.DataOutputStream(baos))
+    assert ser == bytes(baos.toByteArray())  # byte-golden vs the Java writer
+
+    dis = jvm.java.io.DataInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(ser))
+    )
+    rb2 = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rb2.deserializePortable(dis)
+    assert rb2.getLongCardinality() == len(want)
+
+
+def test_puffin_compressed_footer_read(spark, tmp_path):
+    """External Puffin writers (Iceberg's PuffinWriter, Trino) may
+    LZ4-frame-compress the footer payload (footer Flags bit 0, Puffin
+    spec); the reader must parse such footers. The compressed stream is
+    produced by the JVM's lz4-java frame writer — an independent
+    implementation, not our own compressor — plus a pyarrow variant."""
+    import struct
+
+    import pyarrow as pa
+
+    from moonlink_spark.iceberg.puffin import (
+        PUFFIN_MAGIC,
+        read_puffin_footer,
+        write_puffin,
+    )
+
+    p = str(tmp_path / "t.puffin")
+    write_puffin(
+        p,
+        [{"data": b"abcdef", "type": "deletion-vector-v1",
+          "snapshot-id": 7, "sequence-number": 3,
+          "properties": {"cardinality": "3"}}],
+        properties={"created-by": "moonlink_spark"},
+    )
+    plain = read_puffin_footer(p)
+    raw = open(p, "rb").read()
+    (payload_len,) = struct.unpack_from("<I", raw, len(raw) - 12)
+    foot_start = len(raw) - 12 - payload_len - 4
+    payload = raw[foot_start + 4 : foot_start + 4 + payload_len]
+    body = raw[:foot_start]
+
+    jvm = spark.sparkContext._jvm
+    baos = jvm.java.io.ByteArrayOutputStream()
+    lz = jvm.net.jpountz.lz4.LZ4FrameOutputStream(baos)
+    lz.write(bytearray(payload))
+    lz.close()
+    compressed = {"java-lz4": bytes(baos.toByteArray()),
+                  "pyarrow-lz4": bytes(pa.Codec("lz4").compress(payload))}
+
+    for name, comp in compressed.items():
+        p2 = str(tmp_path / f"{name}.puffin")
+        with open(p2, "wb") as f:
+            f.write(body + PUFFIN_MAGIC + comp
+                    + struct.pack("<I", len(comp))
+                    + b"\x01\x00\x00\x00" + PUFFIN_MAGIC)
+        assert read_puffin_footer(p2) == plain, name

@@ -14,11 +14,16 @@ Protocol (noise-robust on a shared-host VM with measurable CPU steal):
      absolute paths), run tools/maint_once.py in a fresh JVM, parse its
      JSON line. Reps ALTERNATE between the two core levels so host drift
      hits both levels symmetrically.
-  4. Steal rejection: /proc/stat's cpu steal counter is sampled around
-     each rep's JVM. A rep whose average stolen cores exceed STEAL_MAX
-     (default 0.25, env MOONLINK_STEAL_MAX) is logged and REJECTED — it
-     measures the neighbour VM, not this code. Rep attempts continue
-     until each level has `reps` accepted runs (or 6x attempts cap).
+  4. Interference rejection, two independent signals sampled around each
+     rep's JVM: (a) /proc/stat steal — average stolen cores above
+     STEAL_MAX (default 0.25, env MOONLINK_STEAL_MAX) means the
+     hypervisor gave our vCPUs to a neighbour VM; (b) other-process CPU —
+     VM busy CPU minus the rep tree's own os.times() usage, above
+     OTHER_CPU_MAX (default 0.5, env MOONLINK_OTHER_CPU_MAX) means some
+     other in-VM process competed for the cores. Either way the rep is
+     logged and REJECTED — it measures the interference, not this code.
+     Rep attempts continue until each level has `reps` accepted runs
+     (or 6x attempts cap).
   5. Per level take the per-op MIN across accepted reps (the standard
      estimator when individual runs can only be inflated by interference);
      efficiency = (T_N / T_4N) / (4N / N).
@@ -45,6 +50,9 @@ CHANGES = "/tmp/moonlink_scaling_changes"
 STAMP = os.path.join(BACKUP_ROOT, "_fixture.json")
 CLK_TCK = os.sysconf("SC_CLK_TCK")
 STEAL_MAX = float(os.environ.get("MOONLINK_STEAL_MAX", "0.25"))  # avg stolen cores
+# avg CPU cores burned by OTHER in-VM processes during a rep (non-steal
+# contention the steal counter can't see)
+OTHER_CPU_MAX = float(os.environ.get("MOONLINK_OTHER_CPU_MAX", "0.5"))
 ATTEMPT_CAP_MULT = 6
 
 
@@ -97,15 +105,30 @@ spark.stop()
         json.dump(stamp, f)
 
 
-def run_once(cores: int) -> tuple[dict, dict]:
-    """One rep: restore pristine table, run maintenance, sample steal.
+def read_busy_sec() -> float:
+    """Cumulative CPU-seconds the whole VM spent busy (user+nice+system)."""
+    with open("/proc/stat") as f:
+        fields = f.readline().split()
+    return (int(fields[1]) + int(fields[2]) + int(fields[3])) / CLK_TCK
 
-    Returns (job_json, rep_meta) where rep_meta carries the steal audit.
+
+def run_once(cores: int) -> tuple[dict, dict]:
+    """One rep: restore pristine table, run maintenance, audit interference.
+
+    Two independent rejection signals, either one kills the rep:
+      - steal: hypervisor gave our vCPUs to a neighbour VM;
+      - other-CPU: busy CPU inside the VM that our rep tree did not burn
+        (read_busy_sec minus os.times() self+children deltas — the
+        children counters roll up the rep's whole subprocess tree at
+        wait()), i.e. some other in-VM process competed for the cores.
+    Returns (job_json, rep_meta) where rep_meta carries the audit.
     """
     shutil.rmtree(RUN_ROOT, ignore_errors=True)
     shutil.copytree(BACKUP_ROOT, RUN_ROOT)
     os.remove(os.path.join(RUN_ROOT, "_fixture.json"))
     steal0 = read_steal_sec()
+    busy0 = read_busy_sec()
+    times0 = os.times()
     load0 = os.getloadavg()[0]
     t0 = time.time()
     out = subprocess.run(
@@ -115,17 +138,24 @@ def run_once(cores: int) -> tuple[dict, dict]:
     )
     wall = time.time() - t0
     steal_sec = read_steal_sec() - steal0
+    times1 = os.times()
+    ours_sec = (times1.children_user - times0.children_user) \
+        + (times1.children_system - times0.children_system) \
+        + (times1.user - times0.user) + (times1.system - times0.system)
+    other_sec = max(0.0, (read_busy_sec() - busy0) - ours_sec)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     result = json.loads(line)
     steal_cores = steal_sec / max(wall, 1e-9)
+    other_cores = other_sec / max(wall, 1e-9)
     meta = {
         "cores": cores,
         "wall_sec": round(wall, 2),
         "steal_sec": round(steal_sec, 2),
         "steal_cores": round(steal_cores, 3),
+        "other_cpu_cores": round(other_cores, 3),
         "loadavg_start": round(load0, 2),
         "maint_sec": round(result["queries"]["compact_cluster_fused"], 3),
-        "accepted": steal_cores <= STEAL_MAX,
+        "accepted": steal_cores <= STEAL_MAX and other_cores <= OTHER_CPU_MAX,
     }
     return result, meta
 
@@ -166,9 +196,10 @@ def main() -> None:
             attempts += 1
             result, meta = run_once(cores)
             rep_log.append(meta)
-            tag = "ACCEPT" if meta["accepted"] else "REJECT(steal)"
+            tag = "ACCEPT" if meta["accepted"] else "REJECT(interference)"
             print(f"[{tag}] cores={cores} maint={meta['maint_sec']}s "
-                  f"steal_cores={meta['steal_cores']}", file=sys.stderr)
+                  f"steal_cores={meta['steal_cores']} "
+                  f"other_cpu_cores={meta['other_cpu_cores']}", file=sys.stderr)
             if meta["accepted"]:
                 accepted[cores].append(result)
 
@@ -190,6 +221,7 @@ def main() -> None:
         "reps_accepted_big": len(accepted[big]),
         "reps_rejected": sum(1 for m in rep_log if not m["accepted"]),
         "steal_max_cores": STEAL_MAX,
+        "other_cpu_max_cores": OTHER_CPU_MAX,
         "cores_small": small,
         "cores_big": big,
         "maint_sec_small": t_s,

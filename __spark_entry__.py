@@ -146,11 +146,15 @@ FROM images WHERE ({okey}) % 7 = 0"""
 _NO_BYTES = "image_id, w, h, fmt, caption, phash"
 
 
-def _lww_select(d: str, cols: str = _NO_BYTES, lsn_lt: int | None = None) -> str:
+def _lww_select(d: str, cols: str = _NO_BYTES, lsn_lt: int | None = None,
+                changes_sql: str | None = None) -> str:
     """Last-writer-wins final state of images ⊕ changes (merge.py semantics:
     max lsn wins; on a tie the non-delete row wins; D rows vanish).
-    *lsn_lt* restricts the change batch to lsn < cut (read-at-LSN oracle)."""
-    cut = f"\nSELECT * FROM (  {_changes_select(d)}\n) WHERE lsn < {lsn_lt}" if lsn_lt else _changes_select(d)
+    *lsn_lt* restricts the change batch to lsn < cut (read-at-LSN oracle);
+    *changes_sql* substitutes a transformed change batch (e.g. the
+    schema-versioned Avro wire oracle)."""
+    src = changes_sql or _changes_select(d)
+    cut = f"\nSELECT * FROM (  {src}\n) WHERE lsn < {lsn_lt}" if lsn_lt else src
     return f"""
 WITH images AS ({_images_select(d)}),
 changes AS ({cut}),
@@ -336,6 +340,58 @@ def q_avro_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _fresh_root("avro_src")
     stage_avro_dump(_changes_df(spark, sf_dir), stage)
     merge_into(t, read_avro_cdc(spark, stage, t.schema), run_id="m1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
+def _changes_select_caption_cut(d: str, cut: int) -> str:
+    """The change batch as the schema-versioned Avro wire dump surfaces it:
+    events landed before *cut* were produced under the OLD registered
+    schema (no caption column), so their caption decodes as NULL."""
+    S = _s(d)
+    return (f"SELECT op, lsn, image_id, bytes, w, h, fmt, "
+            f"CASE WHEN lsn < {cut} THEN CAST(NULL AS {S}) ELSE caption END "
+            f"AS caption, phash FROM ({_changes_select(d)})")
+
+
+def q_avro_wire_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka schema-registry analog (moonlink_service/src/rest_api.rs:
+    122-135 schema registration + rest_ingest/avro_converter.rs versioned
+    conversion): the change batch is landed as ONE wire-format topic dump
+    containing events produced under TWO registered schema versions — the
+    pre-cut events under an old schema lacking `caption`, the rest under
+    the current schema. Each event is decoded with the version its
+    Confluent frame (0x00 + schema-id) names, coerced to the current table
+    schema (since-added caption → NULL), and applied through the same
+    MERGE kernel. Oracle: LWW replay with caption nulled below the cut."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.sources.avro_cdc import (
+        read_avro_cdc_wire,
+        register_avro_schema,
+        spark_to_avro_schema,
+        stage_avro_wire_dump,
+    )
+    from moonlink_spark.sources.fixtures import IMAGES_SCHEMA
+
+    t = _make_table(spark, sf_dir, "avro_wire_cdc")
+    reg = _fresh_root("avro_wire_reg")
+    old_schema = T.StructType(
+        [f for f in IMAGES_SCHEMA.fields if f.name != "caption"]
+    )
+    sid_old = register_avro_schema(reg, spark_to_avro_schema(old_schema))
+    sid_new = register_avro_schema(reg, spark_to_avro_schema(IMAGES_SCHEMA))
+    ch = _changes_df(spark, sf_dir)
+    stage = _fresh_root("avro_wire_src")
+    stage_avro_wire_dump(ch.filter(F.col("lsn") < _LSN_CUT).drop("caption"),
+                         os.path.join(stage, "b0"), sid_old)
+    stage_avro_wire_dump(ch.filter(F.col("lsn") >= _LSN_CUT),
+                         os.path.join(stage, "b1"), sid_new)
+    # one glob read over the mixed-version dump — versions are separated by
+    # each event's own frame, not by directory
+    merge_into(t, read_avro_cdc_wire(spark, os.path.join(stage, "*"),
+                                     t.schema, reg), run_id="m1")
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
@@ -1790,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round / newly oracled: must be in the 50-row window
         "initial_copy_then_cdc": q_initial_copy_then_cdc,
         "avro_cdc_merge": q_avro_cdc_merge,
+        "avro_wire_cdc_merge": q_avro_wire_cdc_merge,
         "image_decode_stats": q_image_decode_stats,  # oracle NEW r5
         "image_resize": q_image_resize,              # oracle NEW r5
         # --- r4 tail re-entering the window (last driver-verified r1-r3)
@@ -1884,6 +1941,8 @@ def oracle_sql() -> dict[str, str]:
         "rest_json_cdc_merge": lww,
         "wal2json_cdc_merge": lww,
         "avro_cdc_merge": lww,
+        "avro_wire_cdc_merge": _lww_select(
+            d, changes_sql=_changes_select_caption_cut(d, _LSN_CUT)),
         "initial_copy_then_cdc": lww,
         # generation-time expected stats, persisted by the queries themselves
         # (sequential driver-side numpy vs distributed Arrow plumbing)

@@ -341,11 +341,13 @@ def _event_struct(table_schema: T.StructType) -> T.StructType:
 
 # ------------------------------------------------------------------ staging
 
-def stage_avro_dump(changes_df: DataFrame, path: str) -> None:
+def stage_avro_dump(changes_df: DataFrame, path: str,
+                    frame: bytes = b"") -> None:
     """Encode a (op, lsn, <row>) change frame as a landed Kafka-topic dump:
-    parquet files of single-column binary Avro event payloads. Distributed
-    (mapInPandas) — fixture staging scales with the cluster like any other
-    write."""
+    parquet files of single-column binary Avro event payloads, each
+    prefixed with *frame* (empty for bare Avro; the Confluent wire header
+    for registry-framed events). Distributed (mapInPandas) — fixture
+    staging scales with the cluster like any other write."""
     row_schema = T.StructType(
         [f for f in changes_df.schema.fields if f.name not in ("op", "lsn")]
     )
@@ -357,6 +359,7 @@ def stage_avro_dump(changes_df: DataFrame, path: str) -> None:
             payloads = []
             for rec in pdf.to_dict("records"):
                 out = io.BytesIO()
+                out.write(frame)
                 for name, enc in encs:
                     v = rec.get(name)
                     if v is not None and pd.api.types.is_scalar(v) and pd.isna(v):
@@ -594,32 +597,8 @@ def stage_avro_wire_dump(changes_df: DataFrame, path: str, schema_id: int) -> No
     ``0x00 + schema-id (u32 BE) + avro body`` referencing a registered
     schema — the landed form of a topic produced through a schema
     registry."""
-    frame = struct.pack(">bI", _WIRE_MAGIC, schema_id)
-    row_schema = T.StructType(
-        [f for f in changes_df.schema.fields if f.name not in ("op", "lsn")]
-    )
-    event = _event_struct(row_schema)
-    encs = [(f.name, _compile_encoder(f.dataType, f.nullable)) for f in event.fields]
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for rec in pdf.to_dict("records"):
-                out = io.BytesIO()
-                out.write(frame)
-                for name, enc in encs:
-                    v = rec.get(name)
-                    if v is not None and pd.api.types.is_scalar(v) and pd.isna(v):
-                        v = None
-                    enc(out, v)
-                payloads.append(out.getvalue())
-            yield pd.DataFrame({"value": payloads})
-
-    cols = ["op", "lsn"] + [f.name for f in changes_df.schema.fields
-                            if f.name not in ("op", "lsn")]
-    (changes_df.select(*cols)
-     .mapInPandas(encode, "value binary")
-     .write.mode("overwrite").parquet(path))
+    stage_avro_dump(changes_df, path,
+                    frame=struct.pack(">bI", _WIRE_MAGIC, schema_id))
 
 
 def read_avro_cdc_wire(

@@ -339,3 +339,33 @@ def test_avro_wire_strict_rejects(spark, tmp_path):
     kept = read_avro_cdc_wire(spark, str(tmp_path / "mixed"), OLD_SCHEMA, reg,
                               strict=False).collect()
     assert [(r["op"], r["image_id"]) for r in kept] == [("I", "ok")]
+
+
+def test_avro_wire_streaming_ingest(spark, tmp_path):
+    """ingest_cdc_dir(format='avro_wire') drains a registry-framed topic
+    dump through the epoch loop — the streaming twin of the wire reader."""
+    from moonlink_spark.sources.avro_cdc import (
+        register_avro_schema,
+        stage_avro_wire_dump,
+    )
+    from moonlink_spark.streaming.ingest import ingest_cdc_dir
+
+    reg = str(tmp_path / "registry")
+    sid = register_avro_schema(reg, spark_to_avro_schema(SCHEMA))
+    t = MoonTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         key_columns=["image_id"])
+    t.append(spark.createDataFrame([("a2", 1, True, None)], SCHEMA),
+             run_id="base")
+    stage_avro_wire_dump(
+        spark.createDataFrame([
+            ("I", 10, "a1", 640, True, None),
+            ("D", 20, "a2", None, None, None),
+        ], EV_SCHEMA),
+        str(tmp_path / "topic"), sid)
+    with pytest.raises(ValueError, match="avro_registry_dir"):
+        ingest_cdc_dir(t, str(tmp_path / "topic"), str(tmp_path / "ckpt0"),
+                       format="avro_wire")
+    ingest_cdc_dir(t, str(tmp_path / "topic"), str(tmp_path / "ckpt"),
+                   format="avro_wire", avro_registry_dir=reg)
+    assert {r["image_id"] for r in t.scan().collect()} == {"a1"}
+    assert t.current_flush_lsn() == 20

@@ -118,9 +118,12 @@ def run_once(cores: int) -> tuple[dict, dict]:
     Two independent rejection signals, either one kills the rep:
       - steal: hypervisor gave our vCPUs to a neighbour VM;
       - other-CPU: busy CPU inside the VM that our rep tree did not burn
-        (read_busy_sec minus os.times() self+children deltas — the
-        children counters roll up the rep's whole subprocess tree at
-        wait()), i.e. some other in-VM process competed for the cores.
+        (read_busy_sec delta minus the rep's SELF-REPORTED subtree CPU —
+        maint_once walks /proc over python driver + JVM + pyspark workers
+        just before exit; the parent's os.times() can't see the JVM
+        because pyspark kills it unwaited), i.e. some other in-VM process
+        competed for the cores. The rep's own JVM-shutdown ticks after the
+        self-report land in "other" — a <0.1-core bias at these walls.
     Returns (job_json, rep_meta) where rep_meta carries the audit.
     """
     shutil.rmtree(RUN_ROOT, ignore_errors=True)
@@ -128,7 +131,6 @@ def run_once(cores: int) -> tuple[dict, dict]:
     os.remove(os.path.join(RUN_ROOT, "_fixture.json"))
     steal0 = read_steal_sec()
     busy0 = read_busy_sec()
-    times0 = os.times()
     load0 = os.getloadavg()[0]
     t0 = time.time()
     out = subprocess.run(
@@ -138,13 +140,10 @@ def run_once(cores: int) -> tuple[dict, dict]:
     )
     wall = time.time() - t0
     steal_sec = read_steal_sec() - steal0
-    times1 = os.times()
-    ours_sec = (times1.children_user - times0.children_user) \
-        + (times1.children_system - times0.children_system) \
-        + (times1.user - times0.user) + (times1.system - times0.system)
-    other_sec = max(0.0, (read_busy_sec() - busy0) - ours_sec)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     result = json.loads(line)
+    other_sec = max(0.0, (read_busy_sec() - busy0)
+                    - float(result.get("rep_cpu_sec", 0.0)))
     steal_cores = steal_sec / max(wall, 1e-9)
     other_cores = other_sec / max(wall, 1e-9)
     meta = {

@@ -18,6 +18,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def tree_cpu_sec() -> float:
+    """CPU-seconds consumed so far by THIS process's whole subtree — the
+    python driver, the gateway JVM, and the pyspark worker daemons — live
+    processes via /proc utime+stime plus each node's reaped-children
+    cutime+cstime. bench_scaling.py subtracts this self-report from the
+    VM's total busy CPU to see CPU burned by OTHER processes (os.times()
+    in the parent can't see the JVM: pyspark kills it without waiting, so
+    its usage never rolls into the children counters)."""
+    clk = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        # post-comm fields: 0 state, 1 ppid, ... 11 utime, 12 stime,
+        # 13 cutime, 14 cstime
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12])
+                         + int(rest[13]) + int(rest[14]))
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+        stack.extend(children.get(p, []))
+    return total / clk
+
+
 def main() -> None:
     root, changes_path, cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
 
@@ -66,6 +100,7 @@ def main() -> None:
         "maint_sec": round(maint, 3),
         "maint_gb_per_s": round(live / max(maint, 1e-9) / 1e9, 4),
         "maint_images_per_s": round(rows / max(maint, 1e-9), 1),
+        "rep_cpu_sec": round(tree_cpu_sec(), 2),
     }))
     spark.stop()
 

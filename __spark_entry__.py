@@ -395,6 +395,24 @@ def q_avro_wire_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_NO_BYTES.split(", "))
 
 
+def q_proto_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 8 analog (rest_ingest/proto_converter.rs): the change batch
+    staged as a landed topic dump of proto3-encoded event payloads (field
+    numbers derived from the table schema; proto3 explicit presence models
+    CDC NULLs), decoded by the from-spec wire codec (sources/proto_cdc.py,
+    byte-golden-pinned to the published encoding spec's examples) and
+    applied through the same MERGE kernel. LWW oracle proves the proto
+    path end to end."""
+    from moonlink_spark.operators.merge import merge_into
+    from moonlink_spark.sources.proto_cdc import read_proto_cdc, stage_proto_dump
+
+    t = _make_table(spark, sf_dir, "proto_cdc")
+    stage = _fresh_root("proto_src")
+    stage_proto_dump(_changes_df(spark, sf_dir), stage)
+    merge_into(t, read_proto_cdc(spark, stage, t.schema), run_id="m1")
+    return t.scan(columns=_NO_BYTES.split(", "))
+
+
 def q_initial_copy_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows 9/30 analog (pg_replicate/initial_copy.rs:1-219,
     pg_replicate.rs:240-310): bring an EXISTING populated source under
@@ -1847,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "initial_copy_then_cdc": q_initial_copy_then_cdc,
         "avro_cdc_merge": q_avro_cdc_merge,
         "avro_wire_cdc_merge": q_avro_wire_cdc_merge,
+        "proto_cdc_merge": q_proto_cdc_merge,
         "image_decode_stats": q_image_decode_stats,  # oracle NEW r5
         "image_resize": q_image_resize,              # oracle NEW r5
         # --- r4 tail re-entering the window (last driver-verified r1-r3)
@@ -1943,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
         "avro_cdc_merge": lww,
         "avro_wire_cdc_merge": _lww_select(
             d, changes_sql=_changes_select_caption_cut(d, _LSN_CUT)),
+        "proto_cdc_merge": lww,
         "initial_copy_then_cdc": lww,
         # generation-time expected stats, persisted by the queries themselves
         # (sequential driver-side numpy vs distributed Arrow plumbing)

@@ -50,7 +50,7 @@ def main() -> None:
     ap.add_argument("--wal-dir", default=None, metavar="DIR")
     ap.add_argument("--source-format", default="parquet",
                     choices=["parquet", "json", "wal2json", "avro",
-                             "avro_wire"])
+                             "avro_wire", "proto"])
     ap.add_argument("--avro-registry", default=None, metavar="DIR",
                     help="schema-registry dir for --source-format avro_wire")
     args = ap.parse_args()

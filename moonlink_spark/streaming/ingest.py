@@ -215,10 +215,13 @@ def ingest_cdc_dir(
     pg_replicate analog, sources/wal2json.py), "avro" (a landed
     Kafka-topic dump of binary Avro event payloads decoded against the
     table schema — the rest_ingest/avro_converter.rs analog,
-    sources/avro_cdc.py), or "avro_wire" (Confluent wire framing; each
+    sources/avro_cdc.py), "avro_wire" (Confluent wire framing; each
     event names its registered schema version by id in
     *avro_registry_dir*, mixed versions coerce to the current table
-    schema — the rest_api.rs schema-registration analog).
+    schema — the rest_api.rs schema-registration analog), or "proto"
+    (proto3-encoded event payloads against the schema-derived message
+    layout — the rest_ingest/proto_converter.rs analog,
+    sources/proto_cdc.py).
 
     *wal_dir*: persist each epoch durably before apply (see
     start_cdc_stream), so the backfill survives source-directory pruning
@@ -254,6 +257,13 @@ def ingest_cdc_dir(
             raise ValueError("format='avro_wire' requires avro_registry_dir")
         stream = stream_avro_cdc_wire(
             table.spark, changes_dir, schema, avro_registry_dir,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    elif format == "proto":
+        from moonlink_spark.sources.proto_cdc import stream_proto_cdc
+
+        stream = stream_proto_cdc(
+            table.spark, changes_dir, schema,
             max_files_per_trigger=max_files_per_trigger,
         )
     elif format == "parquet":

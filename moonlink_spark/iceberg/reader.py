@@ -235,10 +235,17 @@ def read_iceberg_scan(
     columns: list[str] | None = None,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Scan an Iceberg table directory through the spec protocol alone;
     returns the live rows (position deletes applied). Time travel by
-    *snapshot_id* or by wall-clock *as_of_ms* (snapshot-log resolution)."""
+    *snapshot_id* or by wall-clock *as_of_ms* (snapshot-log resolution).
+
+    *with_row_ids* (v3 tables only) appends the spec's row-lineage column
+    ``_row_id`` = the data file's immutable first_row_id + the row's
+    position — derived exactly as a v3 reader must, so a row keeps its id
+    across exports that carry its file forward. The per-file id map is
+    manifest-cardinality metadata joined broadcast."""
     meta = load_iceberg_metadata(table_root)
     check_supported(meta, table_root)
     if snapshot_id is not None and as_of_ms is not None:
@@ -250,6 +257,7 @@ def read_iceberg_scan(
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
 
     data_paths: list[str] = []
+    first_ids: dict[str, int | None] = {}
     delete_paths: list[str] = []
     puffin_entries: list[dict] = []
     n_delete_rows = 0
@@ -260,6 +268,7 @@ def read_iceberg_scan(
             _reject_equality_deletes(e, snap["manifest-list"])
             if e["content"] == 0:
                 data_paths.append(e["file_path"])
+                first_ids[e["file_path"]] = e.get("first_row_id")
             elif e.get("file_format") == "PUFFIN":
                 puffin_entries.append(e)
                 n_delete_rows += e["record_count"]
@@ -288,8 +297,17 @@ def read_iceberg_scan(
             for f in snap_schema["fields"]
         ]
     )
+    if with_row_ids:
+        missing = sorted(p for p, fid in first_ids.items() if fid is None)
+        if missing:
+            raise ValueError(
+                f"with_row_ids needs v3 row lineage: {len(missing)} data "
+                f"file(s) in snapshot {sid} carry no first_row_id "
+                f"(first: {missing[0]})"
+            )
+
     df = spark.read.schema(read_schema).parquet(*data_paths)
-    if not delete_paths and not puffin_entries:
+    if not delete_paths and not puffin_entries and not with_row_ids:
         return df.select(*cols)
 
     with_pos = df.select(
@@ -297,24 +315,40 @@ def read_iceberg_scan(
         F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    del_parts = []
-    if delete_paths:
-        del_parts.append(
-            spark.read.parquet(*delete_paths).select(
-                F.col("file_path").alias("_fp"), F.col("pos").alias("_pos")
+    if delete_paths or puffin_entries:
+        del_parts = []
+        if delete_paths:
+            del_parts.append(
+                spark.read.parquet(*delete_paths).select(
+                    F.col("file_path").alias("_fp"), F.col("pos").alias("_pos")
+                )
             )
+        if puffin_entries:
+            del_parts.append(puffin_delete_rows(spark, puffin_entries))
+        dels = del_parts[0]
+        for part in del_parts[1:]:
+            dels = dels.unionByName(part)
+        if n_delete_rows <= _BROADCAST_DELETE_ROWS:
+            dels = F.broadcast(dels)
+        else:
+            # force a shuffled-hash anti-join above the gate: the at-rest
+            # delete files are small, so Spark's size estimator would
+            # otherwise broadcast a relation whose in-memory row count is
+            # huge (same rationale as the native scan's expanded-size gate)
+            dels = dels.hint("shuffle_hash")
+        with_pos = with_pos.join(dels, ["_fp", "_pos"], "left_anti")
+    if not with_row_ids:
+        return with_pos.select(*cols)
+    # file-cardinality metadata: broadcast the (file → first_row_id) map and
+    # derive _row_id = first_row_id + position, the v3 inheritance rule
+    # (spec: "Row Lineage" — files written without materialized ids inherit
+    # from the manifest's first_row_id)
+    id_map = F.broadcast(
+        spark.createDataFrame(
+            [(p, int(fid)) for p, fid in first_ids.items()],
+            "_fp string, _first_row_id long",
         )
-    if puffin_entries:
-        del_parts.append(puffin_delete_rows(spark, puffin_entries))
-    dels = del_parts[0]
-    for part in del_parts[1:]:
-        dels = dels.unionByName(part)
-    if n_delete_rows <= _BROADCAST_DELETE_ROWS:
-        dels = F.broadcast(dels)
-    else:
-        # force a shuffled-hash anti-join above the gate: the at-rest delete
-        # files are small, so Spark's size estimator would otherwise
-        # broadcast a relation whose in-memory row count is huge (same
-        # rationale as the native scan's expanded-size gate)
-        dels = dels.hint("shuffle_hash")
-    return with_pos.join(dels, ["_fp", "_pos"], "left_anti").select(*cols)
+    )
+    return with_pos.join(id_map, "_fp").select(
+        *cols, (F.col("_first_row_id") + F.col("_pos")).alias("_row_id")
+    )

@@ -940,6 +940,48 @@ def test_v3_row_lineage_stable_across_exports(spark, tmp_path):
     )
 
 
+def test_v3_row_id_scan(spark, tmp_path):
+    """read_iceberg_scan(with_row_ids=True) materializes the v3 row-lineage
+    column by the spec's inheritance rule (_row_id = file first_row_id +
+    position): ids are unique, bounded by next-row-id, STABLE for rows whose
+    data file carried forward across a merge+re-export, and fresh (>= the
+    prior next-row-id) for rewritten rows. v2 tables are rejected."""
+    t = create_images_table(spark, str(tmp_path / "tbl"), 400, seed=7)
+    dest = str(tmp_path / "ice3")
+    export_iceberg(t, dest, format_version=3)
+    s1 = {
+        r["image_id"]: r["_row_id"]
+        for r in read_iceberg_scan(
+            spark, dest, columns=["image_id"], with_row_ids=True
+        ).collect()
+    }
+    n1 = int(load_iceberg_metadata(dest)["next-row-id"])
+    assert len(set(s1.values())) == len(s1) == 400
+    assert all(0 <= v < n1 for v in s1.values())
+
+    merge_into(t, generate_changes_df(spark, 400, 100, seed=7), run_id="m1")
+    export_iceberg(t, dest, format_version=3)
+    s2 = {
+        r["image_id"]: r["_row_id"]
+        for r in read_iceberg_scan(
+            spark, dest, columns=["image_id"], with_row_ids=True
+        ).collect()
+    }
+    assert len(set(s2.values())) == len(s2)
+    native = {r["image_id"] for r in t.scan(columns=["image_id"]).collect()}
+    assert set(s2) == native  # DVs applied: scan sees exactly the live rows
+    kept = {k for k in s1 if k in s2 and s2[k] == s1[k]}
+    rewritten = {k for k in s1 if k in s2 and s2[k] != s1[k]}
+    assert kept, "untouched rows must keep their row ids"
+    assert all(s2[k] >= n1 for k in rewritten), "rewritten rows draw fresh ids"
+    assert any(v >= n1 for v in s2.values())  # merge inserts landed
+
+    dest2 = str(tmp_path / "ice2")
+    export_iceberg(t, dest2, format_version=2)
+    with pytest.raises(ValueError, match="first_row_id"):
+        read_iceberg_scan(spark, dest2, with_row_ids=True)
+
+
 def test_roaring64_run_emission_byte_golden_vs_java(spark):
     """The writer now EMITS run containers (cookie 12347) exactly where the
     Java reference library's runOptimize() converts — run form strictly

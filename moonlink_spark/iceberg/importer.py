@@ -32,6 +32,7 @@ from moonlink_spark.iceberg.reader import (
     _manifest_entries,
     _manifest_list_entries,
     check_supported,
+    identity_partition_sources,
     load_iceberg_metadata,
     resolve_schema,
 )
@@ -151,6 +152,53 @@ def _equality_to_position_deletes(
     return out
 
 
+def _check_partition_columns_materialized(
+    spark: SparkSession, required: dict[str, list[str]]
+) -> None:
+    """Adoption gate for identity-partitioned sources: MoonTable stores no
+    per-file partition metadata (it registers the parquet in place and
+    scans it directly), so every identity partition column recorded in a
+    file's manifest entry must be PHYSICALLY present in that file —
+    otherwise the adopted scan would silently read NULL where the Iceberg
+    metadata held the value. Footer-only check, distributed over the file
+    list (no data read); spec writers materialize identity sources in the
+    data, so real tables pass."""
+    rows = [(p, ",".join(cols)) for p, cols in required.items() if cols]
+    if not rows:
+        return
+
+    def _check(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            errs = []
+            for path, csv in zip(
+                batch.column("path").to_pylist(), batch.column("req").to_pylist()
+            ):
+                names = set(pq.read_schema(path).names)
+                miss = [c for c in csv.split(",") if c not in names]
+                if miss:
+                    errs.append(f"{path} lacks identity partition column(s) {miss}")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(errs, type=pa.string())], names=["err"]
+            )
+
+    errs = (
+        spark.createDataFrame(rows, "path string, req string")
+        .repartition(min(len(rows), 64))
+        .mapInArrow(_check, "err string")
+        .take(5)
+    )
+    if errs:
+        raise ValueError(
+            "cannot adopt identity-partitioned table: "
+            + "; ".join(r["err"] for r in errs)
+            + " — import requires partition source columns materialized in "
+            "the data files (MoonTable keeps no per-file partition metadata)"
+        )
+
+
 def import_iceberg(
     spark: SparkSession,
     src_root: str,
@@ -178,14 +226,21 @@ def import_iceberg(
     )
     key_columns = key_columns or [ice_schema["fields"][0]["name"]]
 
+    spec_sources = identity_partition_sources(meta)
     data_entries: list[dict] = []
     delete_paths: list[str] = []
     puffin_entries: list[dict] = []
     eq_entries: list[dict] = []
     for m in _manifest_list_entries(spark, snap["manifest-list"]):
+        src_by_pfield = spec_sources.get(m.get("partition_spec_id", 0), {})
         for e in _manifest_entries(spark, m["manifest_path"]):
             if e["status"] == 2:
                 continue
+            e["_part_cols"] = sorted(
+                src_by_pfield[name]
+                for name in (e.get("partition") or {})
+                if name in src_by_pfield
+            )
             # entry-level sequence, inheriting the manifest's on null
             # (the spec's sequence-number inheritance for ADDED entries)
             e["_seq"] = (
@@ -202,6 +257,9 @@ def import_iceberg(
             else:
                 delete_paths.append(e["file_path"])
     data_paths = [e["file_path"] for e in data_entries]
+    _check_partition_columns_materialized(
+        spark, {e["file_path"]: e.get("_part_cols", []) for e in data_entries}
+    )
 
     t = MoonTable.create(spark, dest_root, schema, key_columns=key_columns)
     # adopt the source's field ids (incl. nested) so evolution continues

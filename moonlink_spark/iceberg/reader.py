@@ -50,6 +50,7 @@ def _manifest_list_entries(spark: SparkSession, path: str) -> list[dict]:
                 "manifest_path": str(r.get("manifest_path")),
                 "content": int(r.get("content")),
                 "sequence_number": int(r.get("sequence_number")),
+                "partition_spec_id": int(r.get("partition_spec_id")),
             }
             for r in read_avro_via_jvm(spark, path)
         ]
@@ -62,9 +63,27 @@ def _manifest_list_entries(spark: SparkSession, path: str) -> list[dict]:
                 "manifest_path": r["manifest_path"],
                 "content": r["content"],
                 "sequence_number": r.get("sequence_number", 0),
+                "partition_spec_id": r.get("partition_spec_id", 0),
             }
             for r in recs
         ]
+
+
+def _jvm_partition_values(data_file) -> dict:
+    """Generic decode of the r102 partition struct off a JVM GenericRecord:
+    field names come from the record's own schema, Avro Utf8 strings are
+    normalized to str, numerics/booleans pass through py4j natively."""
+    part = data_file.get("partition")
+    out: dict = {}
+    if part is None:
+        return out
+    for fld in part.getSchema().getFields():
+        name = str(fld.name())
+        v = part.get(name)
+        if v is not None and not isinstance(v, (bool, int, float, bytes, str)):
+            v = str(v)
+        out[name] = v
+    return out
 
 
 def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
@@ -83,6 +102,7 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
                     "status": int(r.get("status")),
                     "sequence_number": _opt(r.get("sequence_number"), int),
                     "content": int(df.get("content")),
+                    "partition": _jvm_partition_values(df),
                     "file_path": str(df.get("file_path")),
                     "file_format": str(df.get("file_format")),
                     "record_count": int(df.get("record_count")),
@@ -105,6 +125,7 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
                 "status": r["status"],
                 "sequence_number": r.get("sequence_number"),
                 "content": r["data_file"]["content"],
+                "partition": r["data_file"].get("partition") or {},
                 "file_path": r["data_file"]["file_path"],
                 "file_format": r["data_file"].get("file_format", "PARQUET"),
                 "record_count": r["data_file"]["record_count"],
@@ -142,33 +163,54 @@ def resolve_schema(meta: dict, snap: dict | None = None) -> dict:
 def check_supported(meta: dict, table_root: str) -> None:
     """Up-front validation of the Iceberg feature surface this engine
     consumes — a clear error beats a confusing AnalysisException deep in
-    the delete-file read. Unsupported: non-empty partition specs
-    (partition pruning semantics would be silently lost). Equality deletes
-    (content=2) are rejected by the SCAN path per-entry; import_iceberg
-    CONVERTS them to position deletes at adoption instead."""
+    the delete-file read. Supported: unpartitioned tables and IDENTITY
+    partition specs (partition values are per-file manifest metadata, used
+    for pruning and constant-filling). Non-identity transforms (bucket/
+    truncate/day/...) are rejected: applying their pruning semantics
+    requires the transform implementation, and silently scanning without
+    pruning would mask O(table) reads behind a partition filter."""
     if meta.get("format-version") not in (2, 3):
         raise ValueError(
             f"unsupported Iceberg format-version "
             f"{meta.get('format-version')} at {table_root}"
         )
     for spec in meta.get("partition-specs", []):
-        if spec.get("fields"):
+        bad = [
+            f.get("name")
+            for f in spec.get("fields", [])
+            if f.get("transform") not in ("identity", "void")
+        ]
+        if bad:
             raise ValueError(
-                f"unsupported: partitioned Iceberg table at {table_root} "
-                f"(spec-id {spec.get('spec-id')} has partition fields "
-                f"{[f.get('name') for f in spec['fields']]}; only "
-                f"unpartitioned tables are supported — identity-partition "
-                f"semantics would be silently lost)"
+                f"unsupported: non-identity partition transform(s) on "
+                f"fields {bad} (spec-id {spec.get('spec-id')}) at "
+                f"{table_root}; only identity/void transforms are supported"
             )
 
 
-def _reject_equality_deletes(entry: dict, source: str) -> None:
-    if entry["content"] == 2:
-        raise ValueError(
-            f"unsupported: equality-delete file "
-            f"{entry['file_path']} in {source} (content=2); only position "
-            f"deletes (content=1) are supported"
-        )
+def identity_partition_sources(meta: dict) -> dict[int, dict[str, str]]:
+    """Per spec-id: partition-field name → SOURCE column name (resolved by
+    source-id across every schema in the metadata's history, so a spec
+    written under an older schema still resolves). Only identity fields
+    appear (void fields carry no value and prune nothing)."""
+    id_to_name: dict[int, str] = {}
+    for s in meta.get("schemas", []):
+        for f in s.get("fields", []):
+            id_to_name.setdefault(int(f["id"]), f["name"])
+    out: dict[int, dict[str, str]] = {}
+    for spec in meta.get("partition-specs", []):
+        m: dict[str, str] = {}
+        for f in spec.get("fields", []):
+            if f.get("transform") == "identity":
+                src = id_to_name.get(int(f["source-id"]))
+                if src is None:
+                    raise ValueError(
+                        f"partition field {f.get('name')} references "
+                        f"unknown source-id {f.get('source-id')}"
+                    )
+                m[f["name"]] = src
+        out[int(spec["spec-id"])] = m
+    return out
 
 
 def puffin_delete_rows(spark: SparkSession, entries: list[dict]) -> DataFrame:
@@ -236,10 +278,27 @@ def read_iceberg_scan(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     with_row_ids: bool = False,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Scan an Iceberg table directory through the spec protocol alone;
-    returns the live rows (position deletes applied). Time travel by
-    *snapshot_id* or by wall-clock *as_of_ms* (snapshot-log resolution).
+    returns the live rows (position AND equality deletes applied). Time
+    travel by *snapshot_id* or by wall-clock *as_of_ms* (snapshot-log
+    resolution).
+
+    Identity-partitioned tables are supported: each data file's partition
+    values live in its manifest entry (metadata, not data), so
+    *partition_filter* — ``{source_column: value}`` — prunes files
+    DRIVER-SIDE before any parquet is opened (the scan never plans the
+    pruned files), and partition columns physically absent from a data
+    file are constant-filled from the manifest value via a broadcast
+    file→value map (the spec's identity-partition read rule).
+
+    Equality deletes (content=2, the Flink-CDC shape) are applied with the
+    spec's sequence semantics — a delete at sequence S removes matching
+    rows only from data files with sequence < S, NULL == NULL on the
+    equality-id columns. At scale this is one hash join of the table
+    keyed on the equality columns per distinct equality-id set, exactly
+    the plan an engine-native apply runs.
 
     *with_row_ids* (v3 tables only) appends the spec's row-lineage column
     ``_row_id`` = the data file's immutable first_row_id + the row's
@@ -255,20 +314,40 @@ def read_iceberg_scan(
     else:
         sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    spec_sources = identity_partition_sources(meta)
 
     data_paths: list[str] = []
     first_ids: dict[str, int | None] = {}
+    file_parts: dict[str, dict] = {}  # path → {source_col: partition value}
+    file_seqs: dict[str, int] = {}  # path → data sequence number
     delete_paths: list[str] = []
     puffin_entries: list[dict] = []
+    eq_entries: list[dict] = []
     n_delete_rows = 0
     for m in _manifest_list_entries(spark, snap["manifest-list"]):
+        src_by_pfield = spec_sources.get(m.get("partition_spec_id", 0), {})
         for e in _manifest_entries(spark, m["manifest_path"]):
             if e["status"] == 2:  # DELETED entry: file no longer live
                 continue
-            _reject_equality_deletes(e, snap["manifest-list"])
+            # sequence-number inheritance: ADDED entries written with null
+            # sequence inherit the manifest's (spec "Sequence Numbers")
+            seq = (
+                e["sequence_number"]
+                if e.get("sequence_number") is not None
+                else m["sequence_number"]
+            )
             if e["content"] == 0:
                 data_paths.append(e["file_path"])
                 first_ids[e["file_path"]] = e.get("first_row_id")
+                file_seqs[e["file_path"]] = seq
+                file_parts[e["file_path"]] = {
+                    src_by_pfield[name]: v
+                    for name, v in (e.get("partition") or {}).items()
+                    if name in src_by_pfield
+                }
+            elif e["content"] == 2:
+                eq_entries.append({**e, "_seq": seq})
+                n_delete_rows += e["record_count"]
             elif e.get("file_format") == "PUFFIN":
                 puffin_entries.append(e)
                 n_delete_rows += e["record_count"]
@@ -278,9 +357,70 @@ def read_iceberg_scan(
 
     if not data_paths:
         raise ValueError(f"no live data files in snapshot {sid} of {table_root}")
+
+    if partition_filter:
+        known = {c for m_ in spec_sources.values() for c in m_.values()}
+        unknown = sorted(set(partition_filter) - known)
+        if unknown:
+            raise ValueError(
+                f"partition_filter references non-partition column(s) "
+                f"{unknown}; identity partition sources are {sorted(known)}"
+            )
+        # metadata-only pruning: a file is kept unless its manifest entry
+        # carries a CONFLICTING value; files from specs not partitioned on
+        # the column can't be pruned and stay in the scan
+        data_paths = [
+            p
+            for p in data_paths
+            if all(
+                c not in file_parts[p] or file_parts[p][c] == v
+                for c, v in partition_filter.items()
+            )
+        ]
+        if not data_paths:
+            # empty result with the snapshot-schema columns, no scan at all
+            snap_schema0 = resolve_schema(meta, snap)
+            import pyspark.sql.types as T
+
+            from moonlink_spark.iceberg.spec import spark_type
+
+            empty = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(
+                            f["name"], spark_type(f["type"]), not f.get("required")
+                        )
+                        for f in snap_schema0["fields"]
+                    ]
+                ),
+            )
+            return empty.select(
+                *(columns or [f["name"] for f in snap_schema0["fields"]])
+            )
     snap_schema = resolve_schema(meta, snap)
     schema_fields = [f["name"] for f in snap_schema["fields"]]
     cols = columns or schema_fields
+
+    # equality-delete key columns (by equality-ids → snapshot-schema names)
+    # must be read even when projected out; dropped again before returning
+    id_to_name = {f["id"]: f["name"] for f in snap_schema["fields"]}
+    eq_groups: dict[tuple, list[dict]] = {}
+    for e in eq_entries:
+        if not e.get("equality_ids"):
+            raise ValueError(
+                f"equality-delete file {e['file_path']} has no equality_ids"
+            )
+        try:
+            key = tuple(id_to_name[i] for i in sorted(e["equality_ids"]))
+        except KeyError as exc:
+            raise ValueError(
+                f"equality-delete file {e['file_path']} references unknown "
+                f"field id {exc}"
+            ) from None
+        eq_groups.setdefault(key, []).append(e)
+    eq_key_cols = [c for g in eq_groups for c in g]
+    read_cols = list(cols) + [c for c in dict.fromkeys(eq_key_cols) if c not in cols]
     # schema evolution is metadata-only: the snapshot's schema — not the
     # data files — defines the read columns. Reading with the snapshot's
     # schema as the EXPLICIT read schema makes parquet fill columns absent
@@ -298,7 +438,7 @@ def read_iceberg_scan(
         ]
     )
     if with_row_ids:
-        missing = sorted(p for p, fid in first_ids.items() if fid is None)
+        missing = sorted(p for p in data_paths if first_ids[p] is None)
         if missing:
             raise ValueError(
                 f"with_row_ids needs v3 row lineage: {len(missing)} data "
@@ -307,14 +447,61 @@ def read_iceberg_scan(
             )
 
     df = spark.read.schema(read_schema).parquet(*data_paths)
-    if not delete_paths and not puffin_entries and not with_row_ids:
+    # identity partition columns may be physically ABSENT from data files:
+    # the manifest value is the source of truth, filled in via a broadcast
+    # file→value map (file-cardinality metadata) and coalesce — the file's
+    # own value wins when materialized, per spec they must agree
+    fill_cols = [
+        c
+        for c in read_cols
+        if any(c in file_parts.get(p, {}) for p in data_paths)
+    ]
+    if (
+        not delete_paths
+        and not puffin_entries
+        and not eq_groups
+        and not with_row_ids
+        and not fill_cols
+    ):
         return df.select(*cols)
 
     with_pos = df.select(
-        *cols,
+        *read_cols,
         F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
+    if fill_cols:
+        type_by_name = {f.name: f.dataType for f in read_schema.fields}
+        import pyspark.sql.types as T2
+
+        part_schema = T2.StructType(
+            [T2.StructField("_fp", T2.StringType(), False)]
+            + [
+                T2.StructField(f"_part_{c}", type_by_name[c], True)
+                for c in fill_cols
+            ]
+        )
+        part_map = F.broadcast(
+            spark.createDataFrame(
+                [
+                    tuple(
+                        [p] + [file_parts.get(p, {}).get(c) for c in fill_cols]
+                    )
+                    for p in data_paths
+                ],
+                part_schema,
+            )
+        )
+        with_pos = with_pos.join(part_map, "_fp").select(
+            *[
+                F.coalesce(F.col(c), F.col(f"_part_{c}")).alias(c)
+                if c in fill_cols
+                else F.col(c)
+                for c in read_cols
+            ],
+            "_fp",
+            "_pos",
+        )
     if delete_paths or puffin_entries:
         del_parts = []
         if delete_paths:
@@ -337,6 +524,45 @@ def read_iceberg_scan(
             # huge (same rationale as the native scan's expanded-size gate)
             dels = dels.hint("shuffle_hash")
         with_pos = with_pos.join(dels, ["_fp", "_pos"], "left_anti")
+    if eq_groups:
+        # data sequence number per file (broadcast file-cardinality map);
+        # the spec's "delete applies to strictly-older data files" rule
+        seq_map = F.broadcast(
+            spark.createDataFrame(
+                [(p, int(file_seqs[p])) for p in data_paths],
+                "_fp string, _dseq long",
+            )
+        )
+        with_pos = with_pos.join(seq_map, "_fp")
+        for key_cols, entries in eq_groups.items():
+            del_seq_df = spark.createDataFrame(
+                [(e["file_path"], int(e["_seq"])) for e in entries],
+                "_delfp string, _xseq long",
+            )
+            dels = (
+                spark.read.parquet(*[e["file_path"] for e in entries])
+                .select(
+                    *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""
+                    ).alias("_delfp"),
+                )
+                .join(F.broadcast(del_seq_df), "_delfp")
+                .select(*[f"_k_{c}" for c in key_cols], "_xseq")
+                .distinct()
+            )
+            if sum(e["record_count"] for e in entries) <= _BROADCAST_DELETE_ROWS:
+                dels = F.broadcast(dels)
+            cond = [with_pos[c].eqNullSafe(dels[f"_k_{c}"]) for c in key_cols]
+            cond.append(dels["_xseq"] > with_pos["_dseq"])
+            pred = cond[0]
+            for c in cond[1:]:
+                pred = pred & c
+            # one hash anti-join keyed on the equality columns per group —
+            # the table shuffles once per distinct equality-id set, the
+            # delete side broadcasts below the gate
+            with_pos = with_pos.join(dels, pred, "left_anti")
+        with_pos = with_pos.drop("_dseq")
     if not with_row_ids:
         return with_pos.select(*cols)
     # file-cardinality metadata: broadcast the (file → first_row_id) map and
@@ -345,7 +571,7 @@ def read_iceberg_scan(
     # from the manifest's first_row_id)
     id_map = F.broadcast(
         spark.createDataFrame(
-            [(p, int(fid)) for p, fid in first_ids.items()],
+            [(p, int(first_ids[p])) for p in data_paths],
             "_fp string, _first_row_id long",
         )
     )

@@ -78,9 +78,22 @@ MANIFEST_FILE_SCHEMA = {
 }
 
 
-def manifest_entry_schema() -> dict:
-    """manifest_entry for an UNPARTITIONED table (empty r102 partition
-    struct), v2 fields + the bounds maps used for file pruning."""
+def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+    """manifest_entry schema: by default an UNPARTITIONED table (empty r102
+    partition struct), v2 fields + the bounds maps used for file pruning.
+    *partition_fields* (each ``{"name", "field-id", "type"}`` with an Avro
+    type, nullable union applied here) extends r102 for partitioned tables
+    — the spec stores one partition VALUE per data file in the manifest,
+    which is what makes manifest-level partition pruning metadata-only."""
+    part_fields = [
+        {
+            "name": f["name"],
+            "type": ["null", f["type"]],
+            "default": None,
+            "field-id": f["field-id"],
+        }
+        for f in (partition_fields or [])
+    ]
     data_file = {
         "type": "record",
         "name": "r2",
@@ -90,7 +103,7 @@ def manifest_entry_schema() -> dict:
             {"name": "file_format", "type": "string", "field-id": 101},
             {
                 "name": "partition",
-                "type": {"type": "record", "name": "r102", "fields": []},
+                "type": {"type": "record", "name": "r102", "fields": part_fields},
                 "field-id": 102,
             },
             {"name": "record_count", "type": "long", "field-id": 103},

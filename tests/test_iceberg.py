@@ -338,40 +338,45 @@ def test_export_schema_history_time_travel(spark, tmp_path):
     assert meta3["snapshots"][-1]["schema-id"] == meta3["current-schema-id"]
 
 
-def test_import_rejects_equality_deletes_and_partition_specs(spark, tmp_path):
-    """Up-front validation (round-4 ADVICE): equality-delete manifest
-    entries (content=2) and non-empty partition specs raise a clear error
-    instead of a confusing failure deep in the delete-file read."""
+def test_partition_spec_support_boundary(spark, tmp_path):
+    """Partition-spec feature boundary: IDENTITY specs are accepted (files
+    whose manifest entries carry no partition values simply can't be
+    pruned or constant-filled), while non-identity transforms (bucket,
+    day, ...) raise a clear up-front error from both the reader and the
+    importer — their pruning semantics need the transform implementation,
+    and scanning without it would silently lose pruning."""
     from moonlink_spark.iceberg import import_iceberg
-    from moonlink_spark.iceberg.reader import check_supported
 
     t = create_images_table(spark, str(tmp_path / "tbl"), 100, seed=42)
     dest = str(tmp_path / "out")
     export_iceberg(t, dest)
 
-    # non-empty partition spec → rejected by both reader and importer
     mdir = os.path.join(dest, "metadata")
     with open(os.path.join(mdir, "version-hint.text")) as f:
         v = int(f.read().strip())
     mpath = os.path.join(mdir, f"v{v}.metadata.json")
     with open(mpath) as f:
         meta = json.load(f)
+
+    # identity spec (values absent from the old manifests) → scan works
     meta["partition-specs"] = [{"spec-id": 0, "fields": [
         {"source-id": 1, "field-id": 1000, "name": "fmt", "transform": "identity"}
     ]}]
     with open(mpath, "w") as f:
         json.dump(meta, f)
-    with pytest.raises(ValueError, match="partition"):
-        read_iceberg_scan(spark, dest)
-    with pytest.raises(ValueError, match="partition"):
-        import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    assert read_iceberg_scan(spark, dest).count() == t.scan().count()
 
-    # equality-delete entry → rejected with a clear message
-    with pytest.raises(ValueError, match="equality"):
-        from moonlink_spark.iceberg.reader import _reject_equality_deletes
-        _reject_equality_deletes(
-            {"content": 2, "file_path": "/x/eqdel.parquet"}, "manifest"
-        )
+    # non-identity transform → rejected by both
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"source-id": 1, "field-id": 1000, "name": "fmt_bucket",
+         "transform": "bucket[16]"}
+    ]}]
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="non-identity"):
+        read_iceberg_scan(spark, dest)
+    with pytest.raises(ValueError, match="non-identity"):
+        import_iceberg(spark, dest, str(tmp_path / "adopted"))
 
 
 # ---------------------------------------------------------------- puffin v3
@@ -877,9 +882,19 @@ def test_import_converts_equality_deletes(spark, tmp_path):
     assert got == want  # a1 (seq2>1), a2+b2 (seq3>both); b1 SURVIVES (2≯2)
     # the adopted table carries the converted deletes as bitmap DVs
     assert t.delete_files()
-    # and the SCAN path still rejects eq-deletes with a clear error
-    with pytest.raises(ValueError, match="equality"):
-        read_iceberg_scan(spark, str(root))
+    # and the SCAN path applies the same sequence semantics directly —
+    # no import needed, the anti-join runs inside read_iceberg_scan
+    direct = sorted(
+        r["image_id"]
+        for r in read_iceberg_scan(spark, str(root), columns=["image_id"]).collect()
+    )
+    assert direct == want
+    # projecting the equality-key column OUT still applies the deletes
+    # (the key is read internally and dropped before returning)
+    vs = sorted(
+        r["v"] for r in read_iceberg_scan(spark, str(root), columns=["v"]).collect()
+    )
+    assert len(vs) == len(want)
 
 
 def test_v3_row_lineage_stable_across_exports(spark, tmp_path):
@@ -1072,3 +1087,161 @@ def test_puffin_compressed_footer_read(spark, tmp_path):
                     + struct.pack("<I", len(comp))
                     + b"\x01\x00\x00\x00" + PUFFIN_MAGIC)
         assert read_puffin_footer(p2) == plain, name
+
+
+# ------------------------------------------------- identity partitions
+def _build_partitioned_table(root, materialize_fmt: bool):
+    """Hand-built spec-compliant v2 table with an IDENTITY partition spec
+    on `fmt` (source-id 3 → field-id 1000): three data files partitioned
+    png/jpg/gif plus one position-delete (f1 pos 3). With
+    *materialize_fmt* False the data files physically OMIT the fmt column
+    — the spec's identity-partition read rule says the manifest value is
+    the source of truth, which is exactly what the reader must fill."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moonlink_spark.iceberg.avro_io import write_avro_file
+    from moonlink_spark.iceberg.spec import (
+        MANIFEST_FILE_SCHEMA,
+        manifest_entry_schema,
+    )
+
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+
+    def _pq(name, ids, fmt):
+        p = str(root / "data" / name)
+        cols = {"image_id": ids, "v": list(range(len(ids)))}
+        if materialize_fmt:
+            cols["fmt"] = [fmt] * len(ids)
+        pq.write_table(pa.table(cols), p)
+        return p
+
+    f1 = _pq("f1.parquet", [f"a{i}" for i in range(10)], "png")
+    f2 = _pq("f2.parquet", [f"b{i}" for i in range(10)], "jpg")
+    f3 = _pq("f3.parquet", [f"c{i}" for i in range(5)], "gif")
+    d1 = str(root / "data" / "d1.parquet")
+    pq.write_table(pa.table({"file_path": [f1], "pos": pa.array([3], "int64")}), d1)
+
+    schema_json = json.dumps({
+        "type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "image_id", "required": True, "type": "string"},
+            {"id": 2, "name": "v", "required": False, "type": "long"},
+            {"id": 3, "name": "fmt", "required": False, "type": "string"},
+        ]})
+    spec_fields = [{"name": "fmt", "transform": "identity",
+                    "source-id": 3, "field-id": 1000}]
+
+    def _entry(path, content, fmt=None, nrec=10):
+        df = {"content": content, "file_path": path, "file_format": "PARQUET",
+              "partition": {"fmt": fmt}, "record_count": nrec,
+              "file_size_in_bytes": os.path.getsize(path)}
+        return {"status": 1, "snapshot_id": 99, "sequence_number": 1,
+                "file_sequence_number": 1, "data_file": df}
+
+    mdir = str(root / "metadata")
+    es = manifest_entry_schema(
+        partition_fields=[{"name": "fmt", "field-id": 1000, "type": "string"}]
+    )
+    manifests = []
+    for tag, content, entries in [
+        ("data", "data", [_entry(f1, 0, "png"), _entry(f2, 0, "jpg"),
+                          _entry(f3, 0, "gif", nrec=5)]),
+        ("del", "deletes", [_entry(d1, 1, "png", nrec=1)]),
+    ]:
+        mp = os.path.join(mdir, f"manifest-{tag}.avro")
+        size = write_avro_file(mp, es, entries, metadata={
+            "schema": schema_json.encode(), "schema-id": b"0",
+            "partition-spec": json.dumps(spec_fields).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2", "content": content.encode()})
+        manifests.append({
+            "manifest_path": mp, "manifest_length": size,
+            "partition_spec_id": 0, "content": 0 if content == "data" else 1,
+            "sequence_number": 1, "min_sequence_number": 1,
+            "added_snapshot_id": 99,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0, "deleted_data_files_count": 0,
+            "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": None})
+    ml = os.path.join(mdir, "snap-99-1-x.avro")
+    write_avro_file(ml, MANIFEST_FILE_SCHEMA, manifests, metadata={
+        "format-version": b"2", "snapshot-id": b"99", "sequence-number": b"1"})
+
+    meta = {
+        "format-version": 2, "table-uuid": "1" * 36,
+        "location": str(root), "last-sequence-number": 1,
+        "last-updated-ms": 1, "last-column-id": 3,
+        "current-schema-id": 0, "schemas": [json.loads(schema_json)],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 99,
+        "snapshots": [{"snapshot-id": 99, "sequence-number": 1,
+                       "timestamp-ms": 1, "manifest-list": ml,
+                       "summary": {"operation": "append"}, "schema-id": 0}],
+        "snapshot-log": [{"snapshot-id": 99, "timestamp-ms": 1}],
+        "metadata-log": []}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {"f1": f1, "f2": f2, "f3": f3}
+
+
+def test_identity_partition_scan_fill_and_prune(spark, tmp_path):
+    """Identity-partitioned external table, fmt NOT materialized in the
+    data files: the scan constant-fills fmt from the manifest values,
+    applies the position delete, and partition_filter prunes files
+    DRIVER-SIDE (the pruned file never appears in the plan's inputs)."""
+    files = _build_partitioned_table(tmp_path / "ext", materialize_fmt=False)
+    root = str(tmp_path / "ext")
+
+    got = {(r["image_id"], r["fmt"])
+           for r in read_iceberg_scan(spark, root).collect()}
+    want = ({(f"a{i}", "png") for i in range(10) if i != 3}
+            | {(f"b{i}", "jpg") for i in range(10)}
+            | {(f"c{i}", "gif") for i in range(5)})
+    assert got == want
+
+    # pruning: only f2 is planned for the jpg partition
+    jpg = read_iceberg_scan(spark, root, partition_filter={"fmt": "jpg"})
+    assert {r["image_id"] for r in jpg.collect()} == {f"b{i}" for i in range(10)}
+    inputs = " ".join(jpg.inputFiles())
+    assert os.path.basename(files["f2"]) in inputs
+    assert os.path.basename(files["f1"]) not in inputs
+    assert os.path.basename(files["f3"]) not in inputs
+
+    # filter to a value no file carries → empty result, schema intact, no scan
+    empty = read_iceberg_scan(spark, root, partition_filter={"fmt": "zzz"})
+    assert empty.count() == 0
+    assert empty.columns == ["image_id", "v", "fmt"]
+
+    # filtering on a non-partition column is an error, not a silent full scan
+    with pytest.raises(ValueError, match="non-partition"):
+        read_iceberg_scan(spark, root, partition_filter={"v": 1})
+
+    # import refuses: fmt only lives in metadata, adoption would lose it
+    from moonlink_spark.iceberg import import_iceberg
+    with pytest.raises(ValueError, match="lacks identity partition"):
+        import_iceberg(spark, root, str(tmp_path / "adopted"))
+
+
+def test_identity_partition_import_materialized(spark, tmp_path):
+    """With the partition source column materialized in the data files the
+    footer gate passes and the adopted MoonTable's scan matches the spec
+    scan (including the position delete)."""
+    _build_partitioned_table(tmp_path / "ext", materialize_fmt=True)
+    root = str(tmp_path / "ext")
+    from moonlink_spark.iceberg import import_iceberg
+
+    t = import_iceberg(spark, root, str(tmp_path / "adopted"))
+    native = {(r["image_id"], r["fmt"])
+              for r in t.scan(columns=["image_id", "fmt"]).collect()}
+    spec = {(r["image_id"], r["fmt"])
+            for r in read_iceberg_scan(
+                spark, root, columns=["image_id", "fmt"]).collect()}
+    assert native == spec and len(spec) == 24

@@ -543,6 +543,189 @@ def q_iceberg_import_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t2.scan(columns=_NO_BYTES.split(", "))
 
 
+def _write_ext_iceberg(root: str, schema_fields: list, spec_fields: list,
+                       files: list, part_avro_fields: list | None = None) -> None:
+    """Hand-write a spec-compliant EXTERNAL Iceberg v2 table (metadata.json
+    + Avro manifest list / manifests) over already-staged parquet *files* —
+    the input shape another engine (Flink, Java Iceberg) would hand us, so
+    the read queries below exercise reader.py through the spec protocol
+    alone, not our own export. files: [{path, content(0/1/2), seq,
+    partition, record_count, equality_ids?}]."""
+    import json as _json
+
+    from moonlink_spark.iceberg.avro_io import write_avro_file
+    from moonlink_spark.iceberg.spec import (
+        MANIFEST_FILE_SCHEMA,
+        manifest_entry_schema,
+    )
+
+    schema_json = _json.dumps(
+        {"type": "struct", "schema-id": 0, "fields": schema_fields}
+    )
+
+    def _entry(f):
+        df = {"content": f["content"], "file_path": f["path"],
+              "file_format": "PARQUET", "partition": f.get("partition") or {},
+              "record_count": f["record_count"],
+              "file_size_in_bytes": os.path.getsize(f["path"])}
+        if f.get("equality_ids"):
+            df["equality_ids"] = f["equality_ids"]
+        return {"status": 1, "snapshot_id": 7, "sequence_number": f["seq"],
+                "file_sequence_number": f["seq"], "data_file": df}
+
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    es = manifest_entry_schema(partition_fields=part_avro_fields)
+    max_seq = max(f["seq"] for f in files)
+    manifests = []
+    for tag, content, group in [
+        ("data", "data", [f for f in files if f["content"] == 0]),
+        ("del", "deletes", [f for f in files if f["content"] != 0]),
+    ]:
+        if not group:
+            continue
+        mp = os.path.join(mdir, f"manifest-{tag}.avro")
+        size = write_avro_file(mp, es, [_entry(f) for f in group], metadata={
+            "schema": schema_json.encode(), "schema-id": b"0",
+            "partition-spec": _json.dumps(spec_fields).encode(),
+            "partition-spec-id": b"0", "format-version": b"2",
+            "content": content.encode()})
+        manifests.append({
+            "manifest_path": mp, "manifest_length": size,
+            "partition_spec_id": 0, "content": 0 if content == "data" else 1,
+            "sequence_number": max(f["seq"] for f in group),
+            "min_sequence_number": min(f["seq"] for f in group),
+            "added_snapshot_id": 7,
+            "added_data_files_count": len(group),
+            "existing_data_files_count": 0, "deleted_data_files_count": 0,
+            "added_rows_count": sum(f["record_count"] for f in group),
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": None})
+    ml = os.path.join(mdir, "snap-7-1-x.avro")
+    write_avro_file(ml, MANIFEST_FILE_SCHEMA, manifests, metadata={
+        "format-version": b"2", "snapshot-id": b"7",
+        "sequence-number": str(max_seq).encode()})
+    meta = {
+        "format-version": 2, "table-uuid": "e" * 36, "location": root,
+        "last-sequence-number": max_seq, "last-updated-ms": 1,
+        "last-column-id": max(f["id"] for f in schema_fields),
+        "current-schema-id": 0, "schemas": [_json.loads(schema_json)],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": max(
+            [f["field-id"] for f in spec_fields] + [999]),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}], "properties": {},
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "sequence-number": max_seq,
+                       "timestamp-ms": 1, "manifest-list": ml,
+                       "summary": {"operation": "append"}, "schema-id": 0}],
+        "snapshot-log": [{"snapshot-id": 7, "timestamp-ms": 1}],
+        "metadata-log": []}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+
+def q_iceberg_partition_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-partitioned EXTERNAL Iceberg read (new external-surface
+    coverage this round): stage `documents` as a partitioned table — one
+    data file per lang, with the lang column NOT materialized in the
+    parquet, so the manifest partition value is the only copy (the spec's
+    identity read rule) — then spec-scan with partition_filter={'lang':
+    'en'}. Files of other langs are pruned DRIVER-SIDE from manifest
+    metadata (never planned: at 100 TB the non-matching partitions cost
+    zero I/O) and lang is constant-filled via a broadcast file→value map.
+    Oracle: plain WHERE lang='en' over documents."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg import read_iceberg_scan
+
+    _load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    root = _fresh_root("ice_part_ext")
+    os.makedirs(os.path.join(root, "data"))
+    # fixture staging: one pass per lang over the small documents table (5
+    # langs); the QUERY under test is the partitioned read, not this loop
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    files = []
+    for lang in sorted(langs):
+        d = os.path.join(root, "data", f"lang={lang}")
+        sub = docs.filter(F.col("lang") == lang).select(
+            "doc_id", "source", "n_chars")
+        n = sub.count()
+        sub.coalesce(1).write.parquet(d)
+        files.append({
+            "path": _glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            "content": 0, "seq": 1, "partition": {"lang": lang},
+            "record_count": n})
+    schema_fields = [
+        {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+        {"id": 2, "name": "source", "required": False, "type": "string"},
+        {"id": 3, "name": "n_chars", "required": False, "type": "long"},
+        {"id": 4, "name": "lang", "required": False, "type": "string"},
+    ]
+    spec_fields = [{"name": "lang", "transform": "identity",
+                    "source-id": 4, "field-id": 1000}]
+    _write_ext_iceberg(
+        root, schema_fields, spec_fields, files,
+        part_avro_fields=[{"name": "lang", "field-id": 1000, "type": "string"}])
+    return read_iceberg_scan(
+        spark, root, partition_filter={"lang": "en"}
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_iceberg_eq_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete read surface (the Flink-CDC input shape,
+    reference ecosystem interop): stage documents as two data files —
+    even doc_ids @seq1, odd @seq3 — plus an equality-delete file @seq2
+    keyed on doc_id (every doc_id divisible by 7). read_iceberg_scan
+    applies the spec's sequence rule DIRECTLY (no import/conversion): the
+    delete hits only data files with seq < 2, so even multiples of 7
+    vanish while odd multiples survive. One hash anti-join keyed on the
+    equality column — the plan an engine-native apply runs at 100 TB."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg import read_iceberg_scan
+
+    _load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    root = _fresh_root("ice_eqdel_ext")
+    os.makedirs(os.path.join(root, "data"))
+
+    def _stage(name, df):
+        d = os.path.join(root, "data", name)
+        n = df.count()
+        df.coalesce(1).write.parquet(d)
+        return _glob.glob(os.path.join(d, "part-*.parquet"))[0], n
+
+    even, n_even = _stage(
+        "even", docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang", "n_chars"))
+    odd, n_odd = _stage(
+        "odd", docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars"))
+    dels, n_dels = _stage(
+        "eqdel", docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+    schema_fields = [
+        {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+        {"id": 3, "name": "n_chars", "required": False, "type": "long"},
+    ]
+    _write_ext_iceberg(root, schema_fields, [], [
+        {"path": even, "content": 0, "seq": 1, "record_count": n_even},
+        {"path": odd, "content": 0, "seq": 3, "record_count": n_odd},
+        {"path": dels, "content": 2, "seq": 2, "record_count": n_dels,
+         "equality_ids": [1]},
+    ])
+    return read_iceberg_scan(spark, root).select("doc_id", "lang", "n_chars")
+
+
 def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows 18-20: size-tiered selection + bin-packing compaction over an
     80%-small-files layout carrying position deletes from a prior MERGE."""
@@ -1862,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local gate replica (tools/check_correctness.py) instead.
     return {
         # --- new this round / newly oracled: must be in the 50-row window
+        "iceberg_partition_prune_scan": q_iceberg_partition_prune_scan,
+        "iceberg_eq_delete_scan": q_iceberg_eq_delete_scan,
         "initial_copy_then_cdc": q_initial_copy_then_cdc,
         "avro_cdc_merge": q_avro_cdc_merge,
         "avro_wire_cdc_merge": q_avro_wire_cdc_merge,
@@ -1957,6 +2142,14 @@ def oracle_sql() -> dict[str, str]:
             "lang AS first_tag, n_chars FROM documents"
         ),
         "iceberg_import_scan": lww,
+        "iceberg_partition_prune_scan": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE lang = 'en'"
+        ),
+        "iceberg_eq_delete_scan": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE NOT (doc_id % 2 = 0 AND doc_id % 7 = 0)"
+        ),
         "rest_json_cdc_merge": lww,
         "wal2json_cdc_merge": lww,
         "avro_cdc_merge": lww,

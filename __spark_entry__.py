@@ -2098,6 +2098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dups_lsh": q_embed_near_dups_lsh,
         "streaming_cdc_merge": q_streaming_cdc_merge,
+        # r5 window boundary: the two new external-read queries above pushed
+        # streaming_iceberg_mirror + streaming_cdc_self_maintain (both green
+        # in r4) past entry 50 into the locally-replicated tail
         "streaming_iceberg_mirror": q_streaming_iceberg_mirror,
         "streaming_cdc_self_maintain": q_streaming_cdc_self_maintain,
         "events_stream_window": q_events_stream_window,

@@ -3,9 +3,11 @@
 This module never touches the MoonTable catalog — it walks the Iceberg
 protocol exactly as an external engine would (version-hint.text →
 vN.metadata.json → manifest-list Avro → manifest Avro → parquet scan with
-position deletes anti-joined), so a scan through it hash-matching the
-native `t.scan()` proves the exported metadata is genuinely
-self-describing.
+position AND equality deletes anti-joined, identity partition values
+pruned/filled from manifest metadata), so a scan through it hash-matching
+the native `t.scan()` proves the exported metadata is genuinely
+self-describing — and external tables our engine never wrote (partitioned,
+Flink-style equality deletes) read correctly through the same path.
 
 The Avro manifests are decoded by the REFERENCE Java Avro implementation
 (avro-1.12.1.jar on Spark's JVM classpath, via the py4j gateway) — an

@@ -678,6 +678,33 @@ def q_iceberg_partition_prune_scan(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_iceberg_partitioned_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-partitioned EXPORT → pruned spec scan (write-side complement
+    of iceberg_partition_prune_scan): build the images table fmt-aligned
+    (one append per fmt, so every data file holds one fmt — what clustering
+    by fmt produces), export with partition_by=['fmt'] (STATS-driven: the
+    per-file manifest partition value comes from the catalog's min==max
+    column stats, zero data read/rewrite), then spec-scan only the png
+    partition — the jpeg files are pruned from manifest metadata before
+    any parquet is planned. Oracle: WHERE fmt='png' over the same images."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.sources.fixtures import IMAGES_SCHEMA
+    from moonlink_spark.table import MoonTable
+
+    imgs = _images_df(spark, sf_dir)
+    t = MoonTable.create(spark, _fresh_root("ice_part_exp"), IMAGES_SCHEMA,
+                         key_columns=["image_id"])
+    for fmt in ("jpeg", "png"):
+        t.append(imgs.filter(F.col("fmt") == fmt), run_id=f"a-{fmt}")
+    dest = _fresh_root("ice_part_exp_out")
+    export_iceberg(t, dest, partition_by=["fmt"])
+    return read_iceberg_scan(
+        spark, dest, columns=_NO_BYTES.split(", "),
+        partition_filter={"fmt": "png"})
+
+
 def q_iceberg_eq_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality-delete read surface (the Flink-CDC input shape,
     reference ecosystem interop): stage documents as two data files —
@@ -2046,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round / newly oracled: must be in the 50-row window
         "iceberg_partition_prune_scan": q_iceberg_partition_prune_scan,
+        "iceberg_partitioned_export_scan": q_iceberg_partitioned_export_scan,
         "iceberg_eq_delete_scan": q_iceberg_eq_delete_scan,
         "initial_copy_then_cdc": q_initial_copy_then_cdc,
         "avro_cdc_merge": q_avro_cdc_merge,
@@ -2097,10 +2125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann": q_embed_lsh_ann,
         "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dups_lsh": q_embed_near_dups_lsh,
+        # r5 window boundary: the three new external-read queries above pushed
+        # the three streaming rows below (all green in r4) past entry 50 into
+        # the locally-replicated tail
         "streaming_cdc_merge": q_streaming_cdc_merge,
-        # r5 window boundary: the two new external-read queries above pushed
-        # streaming_iceberg_mirror + streaming_cdc_self_maintain (both green
-        # in r4) past entry 50 into the locally-replicated tail
         "streaming_iceberg_mirror": q_streaming_iceberg_mirror,
         "streaming_cdc_self_maintain": q_streaming_cdc_self_maintain,
         "events_stream_window": q_events_stream_window,
@@ -2148,6 +2176,10 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_partition_prune_scan": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE lang = 'en'"
+        ),
+        "iceberg_partitioned_export_scan": (
+            f"WITH images AS ({_images_select(d)}) "
+            f"SELECT {_NO_BYTES} FROM images WHERE fmt = 'png'"
         ),
         "iceberg_eq_delete_scan": (
             "SELECT doc_id, lang, n_chars FROM documents "

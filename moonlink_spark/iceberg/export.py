@@ -44,6 +44,7 @@ from moonlink_spark.iceberg.spec import (
     POS_DELETE_POS_ID,
     bound_bytes,
     iceberg_schema_fields,
+    iceberg_type,
     manifest_entry_schema,
     name_mapping,
 )
@@ -280,7 +281,7 @@ def _write_puffin_dvs(
 
 def _data_entry(
     f, schema_by_name, field_ids, snapshot_id: int, seq: int,
-    first_row_id: int | None = None,
+    first_row_id: int | None = None, partition: dict | None = None,
 ) -> dict:
     lower, upper = [], []
     for name, st in (f.stats or {}).items():
@@ -303,7 +304,7 @@ def _data_entry(
             "content": 0,
             "file_path": norm_path(f.file_path),
             "file_format": "PARQUET",
-            "partition": {},
+            "partition": partition or {},
             "record_count": int(f.record_count),
             "file_size_in_bytes": int(f.file_size_bytes),
             "lower_bounds": lower or None,
@@ -370,11 +371,13 @@ def _write_manifests(
     seq: int,
     schema_id: int = 0,
     format_version: int = 2,
+    partition_fields: list[dict] | None = None,
+    spec_json: str = "[]",
 ) -> list[dict]:
     """Write Avro manifests chunked at 25k entries; returns manifest-file
     descriptors for the manifest list."""
     out = []
-    schema = manifest_entry_schema()
+    schema = manifest_entry_schema(partition_fields)
     for ci in range(0, max(len(entries), 1), _MANIFEST_MAX_ENTRIES):
         chunk = entries[ci : ci + _MANIFEST_MAX_ENTRIES]
         if not chunk and ci > 0:
@@ -387,7 +390,7 @@ def _write_manifests(
             metadata={
                 "schema": schema_json.encode(),
                 "schema-id": str(schema_id).encode(),
-                "partition-spec": b"[]",
+                "partition-spec": spec_json.encode(),
                 "partition-spec-id": b"0",
                 "format-version": str(format_version).encode(),
                 "content": content.encode(),
@@ -420,6 +423,7 @@ def export_iceberg(
     snapshot_id: int | None = None,
     pin_source: bool = True,
     format_version: int = 2,
+    partition_by: list[str] | None = None,
 ) -> str:
     """Translate a snapshot into genuine Iceberg v2 metadata under
     *dest_root*; returns the metadata.json path. See module docstring for
@@ -445,7 +449,16 @@ def export_iceberg(
     parquet; 3 writes them as Puffin deletion-vector-v1 blobs (roaring
     bitmaps, one blob per referenced data file — the reference's native DV
     form, deletion_vector.rs:15-21) with v3 row-lineage metadata. A dest
-    already exported at one version cannot be re-exported at the other."""
+    already exported at one version cannot be re-exported at the other.
+
+    *partition_by*: export with an IDENTITY partition spec on these
+    columns, STATS-DRIVEN and zero-rewrite: every data file must already
+    hold exactly one value per column (per-file min == max in the catalog
+    stats — what clustering by those columns produces), and that value is
+    recorded as the file's manifest partition tuple, so external readers
+    get metadata-level partition pruning over the same in-place files. A
+    file spanning values is a clear error (cluster first), not a silent
+    unpartitioned export; re-exports must pass the same partition_by."""
     if format_version not in (2, 3):
         raise ValueError(f"unsupported format_version {format_version}")
     meta = table.meta
@@ -526,6 +539,57 @@ def export_iceberg(
         + ([prior["last-column-id"]] if prior else [])
     )
 
+    # ---- identity partition spec (optional, stats-driven) ----------------
+    spec_fields: list[dict] = []
+    part_avro_fields: list[dict] = []
+    part_values: dict[str, dict] = {}
+    if partition_by:
+        _AVRO_OK = {"string", "long", "int", "double", "float", "boolean"}
+        for i, c in enumerate(partition_by):
+            sf = schema_by_name.get(c)
+            if sf is None:
+                raise ValueError(f"partition_by column {c!r} not in schema")
+            itype = iceberg_type(sf.dataType)
+            if itype not in _AVRO_OK:
+                raise ValueError(
+                    f"unsupported identity-partition type {itype!r} for "
+                    f"column {c!r} (supported: {sorted(_AVRO_OK)})"
+                )
+            spec_fields.append(
+                {"name": c, "transform": "identity",
+                 "source-id": int(field_ids[c]), "field-id": 1000 + i}
+            )
+            part_avro_fields.append(
+                {"name": c, "field-id": 1000 + i, "type": itype}
+            )
+        # alignment gate: per-file column stats already live in the catalog
+        # (in-pass Arrow stats), so this is metadata-only — no data read
+        for f in data_files:
+            st = f.stats or {}
+            vals = {}
+            for c in partition_by:
+                s = st.get(c) or {}
+                if s.get("min") is None or s.get("min") != s.get("max"):
+                    raise ValueError(
+                        f"cannot export identity-partitioned on {c!r}: data "
+                        f"file {f.file_path} spans "
+                        f"[{s.get('min')!r}, {s.get('max')!r}] — cluster the "
+                        f"table by {list(partition_by)} first so every file "
+                        f"holds exactly one partition value"
+                    )
+                vals[c] = s["min"]
+            part_values[norm_path(f.file_path)] = vals
+    if prior is not None:
+        prior_spec = prior["partition-specs"][0].get("fields", [])
+        if prior_spec != spec_fields:
+            raise ValueError(
+                f"re-export partition spec mismatch: dest was exported with "
+                f"{[pf['name'] for pf in prior_spec]}, this call asks for "
+                f"{list(partition_by or [])} — a mirror's spec cannot change "
+                f"between exports"
+            )
+    spec_json = json.dumps(spec_fields, separators=(",", ":"))
+
     # ---- position deletes: bitmap DVs -> spec parquet (v2) / puffin (v3) -
     delete_infos: list[dict] = []
     if delete_files:
@@ -581,6 +645,7 @@ def export_iceberg(
         _data_entry(
             f, schema_by_name, field_ids, exported_sid, data_seq,
             first_row_id=row_id_of.get(norm_path(f.file_path)),
+            partition=part_values.get(norm_path(f.file_path)),
         )
         for f in data_files
     ]
@@ -591,11 +656,15 @@ def export_iceberg(
     manifests = _write_manifests(
         metadata_dir, data_entries, "data", schema_json,
         f"{exported_sid}-data", data_seq, schema_id, format_version,
+        partition_fields=part_avro_fields or None, spec_json=spec_json,
     )
     if del_entries:
+        # delete entries carry an empty partition tuple (every r102 field is
+        # a nullable union), valid under the same spec-id
         manifests += _write_manifests(
             metadata_dir, del_entries, "deletes", schema_json,
             f"{exported_sid}-del", delete_seq, schema_id, format_version,
+            partition_fields=part_avro_fields or None, spec_json=spec_json,
         )
     for m in manifests:
         m["added_snapshot_id"] = exported_sid
@@ -661,8 +730,10 @@ def export_iceberg(
         "current-schema-id": schema_id,
         "schemas": all_schemas,
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": max(
+            [999] + [pf["field-id"] for pf in spec_fields]
+        ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {

@@ -1245,3 +1245,53 @@ def test_identity_partition_import_materialized(spark, tmp_path):
             for r in read_iceberg_scan(
                 spark, root, columns=["image_id", "fmt"]).collect()}
     assert native == spec and len(spec) == 24
+
+
+def test_partitioned_export_prune_and_roundtrip(spark, tmp_path):
+    """Identity-partitioned EXPORT (stats-driven, zero rewrite): a table
+    whose files are fmt-aligned exports with an identity spec on fmt and
+    per-file manifest partition values taken from the catalog's per-file
+    min==max stats; the spec reader then prunes on partition_filter. A
+    table with mixed-fmt files refuses with the cluster-first hint, and a
+    re-export may not change the spec."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.sources.fixtures import IMAGES_SCHEMA, generate_images_df
+    from moonlink_spark.table import MoonTable
+
+    t = MoonTable.create(
+        spark, str(tmp_path / "tbl"), IMAGES_SCHEMA, key_columns=["image_id"]
+    )
+    df = generate_images_df(spark, 400, seed=42)
+    for fmt in ("jpeg", "png"):
+        # two appends per fmt → ≥2 files per partition value
+        sub = df.filter(F.col("fmt") == fmt)
+        t.append(sub.limit(120), run_id=f"a1-{fmt}")
+        t.append(sub.exceptAll(sub.limit(120)), run_id=f"a2-{fmt}")
+
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, partition_by=["fmt"])
+    meta = load_iceberg_metadata(dest)
+    f0 = meta["partition-specs"][0]["fields"][0]
+    assert f0["transform"] == "identity" and f0["name"] == "fmt"
+    assert meta["last-partition-id"] == 1000
+
+    full = read_iceberg_scan(spark, dest, columns=COLS)
+    assert full.count() == t.scan().count() == 400
+    n_jpeg = t.scan(columns=["fmt"]).filter("fmt = 'jpeg'").count()
+    jp = read_iceberg_scan(spark, dest, columns=COLS,
+                           partition_filter={"fmt": "jpeg"})
+    assert jp.count() == n_jpeg
+    assert {r["fmt"] for r in jp.select("fmt").distinct().collect()} == {"jpeg"}
+    # pruning is real: the jpeg scan plans strictly fewer parquet inputs
+    assert 0 < len(jp.inputFiles()) < len(full.inputFiles())
+
+    # misaligned table (mixed fmt within files) refuses with the hint
+    t2 = create_images_table(spark, str(tmp_path / "mixed"), 200, seed=42)
+    with pytest.raises(ValueError, match="cluster the table"):
+        export_iceberg(t2, str(tmp_path / "ice2"), partition_by=["fmt"])
+
+    # a mirror's spec is immutable across re-exports
+    t.append(generate_images_df(spark, 30, seed=99), run_id="a3")
+    with pytest.raises(ValueError, match="spec mismatch"):
+        export_iceberg(t, dest)  # unpartitioned re-export of partitioned dest

@@ -680,24 +680,25 @@ def q_iceberg_partition_prune_scan(spark: SparkSession, sf_dir: str) -> DataFram
 
 def q_iceberg_partitioned_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identity-partitioned EXPORT → pruned spec scan (write-side complement
-    of iceberg_partition_prune_scan): build the images table fmt-aligned
-    (one append per fmt, so every data file holds one fmt — what clustering
-    by fmt produces), export with partition_by=['fmt'] (STATS-driven: the
-    per-file manifest partition value comes from the catalog's min==max
-    column stats, zero data read/rewrite), then spec-scan only the png
-    partition — the jpeg files are pruned from manifest metadata before
-    any parquet is planned. Oracle: WHERE fmt='png' over the same images."""
-    from pyspark.sql import functions as F
-
+    of iceberg_partition_prune_scan), via the full advertised chain: ingest
+    the images MIXED (files span fmts), run the categorical align rewrite
+    (optimize(curve='align') — one broadcast-join bin assignment + one
+    shuffle; every output file then holds exactly one fmt), export with
+    partition_by=['fmt'] (STATS-driven: the per-file manifest partition
+    value comes from the catalog's min==max column stats, zero data
+    read/rewrite), then spec-scan only the png partition — the jpeg files
+    are pruned from manifest metadata before any parquet is planned.
+    Oracle: WHERE fmt='png' over the same images."""
     from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.operators.optimize import optimize
     from moonlink_spark.sources.fixtures import IMAGES_SCHEMA
     from moonlink_spark.table import MoonTable
 
     imgs = _images_df(spark, sf_dir)
     t = MoonTable.create(spark, _fresh_root("ice_part_exp"), IMAGES_SCHEMA,
                          key_columns=["image_id"])
-    for fmt in ("jpeg", "png"):
-        t.append(imgs.filter(F.col("fmt") == fmt), run_id=f"a-{fmt}")
+    t.append(imgs, run_id="a-mixed")
+    optimize(t, mode="full", cluster_by=["fmt"], curve="align", run_id="align")
     dest = _fresh_root("ice_part_exp_out")
     export_iceberg(t, dest, partition_by=["fmt"])
     return read_iceberg_scan(

@@ -575,7 +575,9 @@ def export_iceberg(
                         f"file {f.file_path} spans "
                         f"[{s.get('min')!r}, {s.get('max')!r}] — cluster the "
                         f"table by {list(partition_by)} first so every file "
-                        f"holds exactly one partition value"
+                        f"holds exactly one partition value (optimize(table, "
+                        f"mode='full', cluster_by={list(partition_by)}, "
+                        f"curve='align'))"
                     )
                 vals[c] = s["min"]
             part_values[norm_path(f.file_path)] = vals

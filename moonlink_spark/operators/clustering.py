@@ -53,6 +53,11 @@ _SEED = 42
 # expression inside a multi-MB codegen plan (the round-1 scale-killer).
 _NATIVE_BOUNDARY_MAX = 128
 
+# curve="align" groups by DISTINCT value tuples (categorical partition
+# columns, e.g. fmt/lang/date) — the driver holds one row per distinct
+# tuple, so cap it where a broadcast map stops being "partition-like"
+_ALIGN_MAX_VALUES = 100_000
+
 
 @dataclass
 class ClusterPlan:
@@ -64,6 +69,9 @@ class ClusterPlan:
     salts: list[int]  # per base-bin salt factor (≥1)
     offsets: list[int]  # cumulative salted-bin offsets (len = base_bins + 1)
     victims: list[str] = field(default_factory=list)
+    # curve="align" only: sorted distinct value tuples of `by` (one base bin
+    # per tuple; the value's index IS the curve key)
+    values: list[list] | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -102,6 +110,74 @@ def _column_bounds(table: MoonTable, files, by: list[str]) -> list[tuple[float, 
     return [(float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in by]
 
 
+def _plan_align(
+    table: MoonTable,
+    run_id: str,
+    by: list[str],
+    files,
+    victims: list[str],
+    total_live: int,
+    total_rows: int,
+    target_bytes: int,
+) -> ClusterPlan:
+    """curve="align" plan: one base bin per DISTINCT value tuple of *by*
+    (categorical partition columns — fmt, lang, date...), so every output
+    file holds exactly ONE value per column. That per-file alignment is the
+    precondition for ``export_iceberg(partition_by=...)``'s stats-driven
+    identity partition spec: after an align rewrite, every file's min==max
+    on the by columns and the export is zero-rewrite.
+
+    One aggregation job (groupBy(by).count() over the victims — a map-side
+    combine then one small shuffle); the driver holds one row per distinct
+    tuple, capped at _ALIGN_MAX_VALUES. Values whose estimated bytes exceed
+    target_bytes get a proportional salt factor — the existing salted-bin
+    machinery — so a hot partition value (skewed fmt) splits into several
+    files of that one value instead of one giant file."""
+    counts = (
+        table._read_data(files, with_position=False)
+        .groupBy(*by)
+        .count()
+        .limit(_ALIGN_MAX_VALUES + 1)
+        .collect()
+    )
+    if len(counts) > _ALIGN_MAX_VALUES:
+        raise ValueError(
+            f"curve='align' on {by} found more than {_ALIGN_MAX_VALUES} "
+            f"distinct value tuples — align is for partition-like "
+            f"(low-cardinality) columns; use curve='zorder' for continuous "
+            f"keys"
+        )
+    for r in counts:
+        if any(r[c] is None for c in by):
+            raise ValueError(
+                f"curve='align' on {by}: NULL partition value found — "
+                f"identity-partition export requires non-null values; "
+                f"filter or backfill NULLs first"
+            )
+    rows = sorted(counts, key=lambda r: tuple(r[c] for c in by))
+    values = [[r[c] for c in by] for r in rows]
+    n = max(1, len(values))
+    bytes_per_row = total_live / total_rows
+    salts = [
+        max(1, int(np.ceil(r["count"] * bytes_per_row / target_bytes)))
+        for r in rows
+    ] or [1]
+    offsets = [0]
+    for s in salts:
+        offsets.append(offsets[-1] + s)
+    return ClusterPlan(
+        run_id=run_id,
+        curve="align",
+        by=list(by),
+        bounds=[],
+        boundaries=list(range(1, n)),
+        salts=salts,
+        offsets=offsets,
+        victims=victims,
+        values=values,
+    )
+
+
 def _plan(
     table: MoonTable,
     run_id: str,
@@ -136,6 +212,19 @@ def _plan(
     victims = [norm_path(f.file_path) for f in files]
     total_live = sum(f.live_bytes for f in files)
     total_rows = max(1, sum(f.live_count for f in files))
+
+    if curve == "align":
+        plan = _plan_align(
+            table, run_id, by, files, victims, total_live, total_rows,
+            target_bytes,
+        )
+        os.makedirs(lineage_dir, exist_ok=True)
+        tmp = plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(plan.to_json())
+        os.rename(tmp, plan_path)
+        return plan
+
     base_bins = max(1, -(-total_live // target_bytes))
     # key-space bounds come from the WHOLE table's stats even in incremental
     # scope (free metadata): victim keys then quantize identically to the
@@ -224,6 +313,43 @@ def assign_keys_and_bins(df, plan: ClusterPlan, key_col: str, bits: int = DEFAUL
     by_cols = plan.by
     nbits = bits
 
+    if curve_name == "align":
+        # categorical alignment: the plan's sorted distinct value tuples map
+        # to (key index, bin offset, salt) — attached via ONE broadcast hash
+        # join, so the hot path is pure JVM codegen at ANY value cardinality
+        # (no array literals in the plan, no Python worker)
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        spark = df.sparkSession
+        map_schema = StructType(
+            [df.schema[c] for c in by_cols]
+            + [
+                StructField("_zkey", LongType(), False),
+                StructField("_off", IntegerType(), False),
+                StructField("_saltn", IntegerType(), False),
+            ]
+        )
+        map_rows = [
+            tuple(vals) + (i, int(plan.offsets[i]), int(plan.salts[i]))
+            for i, vals in enumerate(plan.values or [])
+        ]
+        map_df = spark.createDataFrame(map_rows, map_schema)
+        joined = df.join(F.broadcast(map_df), on=list(by_cols), how="left")
+        salt = F.when(
+            F.col("_saltn") > 1,
+            F.pmod(F.crc32(F.col(key_col).cast("binary")), F.col("_saltn")),
+        ).otherwise(F.lit(0))
+        # the null-key branch raises INSIDE the bin expression (a separate
+        # assert column would be pruned away as unused): execute reads only
+        # the plan's victim files, so every tuple must be in the plan
+        bin_col = F.when(
+            F.col("_zkey").isNull(),
+            F.raise_error(
+                F.lit("align: value tuple not in plan (plan/execute drift)")
+            ).cast("int"),
+        ).otherwise((F.col("_off") + salt).cast("int"))
+        return joined.withColumn("_bin", bin_col).drop("_off", "_saltn")
+
     if curve_name == "zorder":
         from moonlink_spark.functions.zorder import zorder_key_column
 
@@ -302,6 +428,12 @@ def cluster(
     """Clustering rewrite; returns the new snapshot id (None if incremental
     scope found nothing to do).
 
+    curve: "zorder" / "hilbert" lay rows out on a space-filling curve over
+    NUMERIC columns; "align" groups rows by the DISTINCT value tuples of
+    categorical columns (fmt, lang, ...) so every output file holds exactly
+    one value per column — the precondition for
+    ``export_iceberg(partition_by=...)``'s zero-rewrite identity spec.
+
     scope="full": rewrite the whole table into curve order (the heavy,
     rarely-run op). scope="incremental": rewrite ONLY files not yet on this
     curve (fresh appends, merge inserts) plus delete-heavy clustered files —
@@ -313,6 +445,8 @@ def cluster(
     run_id = run_id or uuid.uuid4().hex[:12]
     if scope not in ("full", "incremental"):
         raise ValueError(f"unknown scope {scope!r} (full|incremental)")
+    if curve not in ("zorder", "hilbert", "align"):
+        raise ValueError(f"unknown curve {curve!r} (zorder|hilbert|align)")
     with table.maintenance_lock("cluster", run_id, wait_seconds=lock_wait_seconds):
         return _cluster_locked(table, by, curve, run_id, target_bytes, bits, scope)
 

@@ -706,6 +706,124 @@ def q_iceberg_partitioned_export_scan(spark: SparkSession, sf_dir: str) -> DataF
         partition_filter={"fmt": "png"})
 
 
+def q_iceberg_day_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External day(ts)-partitioned Iceberg table (the spec's temporal
+    transform — what Spark/Flink writers produce for event streams): the
+    events table is laid out one data file per day with the manifest
+    carrying day-ordinal partition values, and the spec reader prunes to
+    ONE day's file from metadata alone (30× less I/O here; at 100 TB a
+    day filter costs one day's bytes, not the table's). Pruning is
+    asserted on planned input files; the row filter composes on top.
+    Oracle: WHERE CAST(ts AS DATE) = the chosen day. Ref: Iceberg spec
+    "Partition Transforms" (day)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg.external import write_external_iceberg
+    from moonlink_spark.iceberg.reader import read_iceberg_scan
+
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    day_ord = pa.compute.days_between(
+        pa.scalar(_dt.date(1970, 1, 1)), pa.compute.cast(tbl["ts"], pa.date32())
+    )
+    tbl = tbl.append_column("_day", day_ord)
+    schema_fields = [
+        {"id": 1, "name": "event_id", "required": False, "type": "long"},
+        {"id": 2, "name": "ts", "required": False, "type": "timestamp"},
+        {"id": 3, "name": "user_id", "required": False, "type": "long"},
+        {"id": 4, "name": "event_type", "required": False, "type": "string"},
+        {"id": 5, "name": "value", "required": False, "type": "double"},
+    ]
+    spec_fields = [
+        {"name": "ts_day", "transform": "day", "source-id": 2, "field-id": 1000}
+    ]
+    cols = [f["name"] for f in schema_fields]
+    parts = [
+        ({"ts_day": int(d)}, tbl.filter(pa.compute.equal(tbl["_day"], d)).select(cols))
+        for d in sorted(set(day_ord.to_pylist()))
+    ]
+    root = _fresh_root("ice_day_prune")
+    write_external_iceberg(root, schema_fields, spec_fields, parts)
+
+    day = _dt.datetime(2024, 1, 15, 12, 0, 0)
+    scan = read_iceberg_scan(spark, root, partition_filter={"ts": day})
+    n_kept = len(scan.inputFiles())
+    if n_kept != 1:
+        raise AssertionError(f"day pruning regressed: planned {n_kept} files")
+    return scan.filter(F.to_date("ts") == F.lit(day.date())).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+def q_iceberg_bucket_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External bucket[8]-partitioned Iceberg table (Appendix-B Murmur3
+    buckets on doc_id): point lookups prune to the key's single bucket
+    file from manifest metadata (1/8 of the files planned here; at scale a
+    key lookup reads one bucket, not the table). Three point lookups, each
+    independently pruned then row-filtered, unioned. Oracle: WHERE doc_id
+    IN (...). Ref: Iceberg spec "Bucket Transform Details"."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg.external import write_external_iceberg
+    from moonlink_spark.iceberg.reader import read_iceberg_scan
+    from moonlink_spark.iceberg.transforms import apply_transform
+
+    n_buckets = 8
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    buckets = [
+        apply_transform(f"bucket[{n_buckets}]", v, "long")
+        for v in tbl["doc_id"].to_pylist()
+    ]
+    tbl = tbl.append_column("_b", pa.array(buckets, pa.int32()))
+    schema_fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "text", "required": False, "type": "string"},
+        {"id": 3, "name": "lang", "required": False, "type": "string"},
+        {"id": 4, "name": "source", "required": False, "type": "string"},
+        {"id": 5, "name": "n_chars", "required": False, "type": "long"},
+    ]
+    spec_fields = [
+        {
+            "name": "doc_id_bucket",
+            "transform": f"bucket[{n_buckets}]",
+            "source-id": 1,
+            "field-id": 1000,
+        }
+    ]
+    cols = [f["name"] for f in schema_fields]
+    parts = [
+        (
+            {"doc_id_bucket": int(b)},
+            tbl.filter(pa.compute.equal(tbl["_b"], b)).select(cols),
+        )
+        for b in sorted(set(buckets))
+    ]
+    root = _fresh_root("ice_bucket_prune")
+    write_external_iceberg(root, schema_fields, spec_fields, parts)
+
+    out = None
+    for doc_id in (7, 42, 123):
+        scan = read_iceberg_scan(spark, root, partition_filter={"doc_id": doc_id})
+        if len(scan.inputFiles()) != 1:
+            raise AssertionError(
+                f"bucket pruning regressed for doc_id={doc_id}: "
+                f"{len(scan.inputFiles())} files planned"
+            )
+        one = scan.filter(F.col("doc_id") == doc_id).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
 def q_iceberg_eq_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality-delete read surface (the Flink-CDC input shape,
     reference ecosystem interop): stage documents as two data files —
@@ -2075,6 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round / newly oracled: must be in the 50-row window
         "iceberg_partition_prune_scan": q_iceberg_partition_prune_scan,
         "iceberg_partitioned_export_scan": q_iceberg_partitioned_export_scan,
+        "iceberg_day_prune_scan": q_iceberg_day_prune_scan,
+        "iceberg_bucket_prune_scan": q_iceberg_bucket_prune_scan,
         "iceberg_eq_delete_scan": q_iceberg_eq_delete_scan,
         "initial_copy_then_cdc": q_initial_copy_then_cdc,
         "avro_cdc_merge": q_avro_cdc_merge,
@@ -2124,11 +2244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_ann": q_embed_lsh_ann,
+        # r5 window boundary: the five new external-read queries above
+        # (partitioned export, day/bucket transform pruning, eq-deletes,
+        # identity pruning) pushed the rows below — all green in r4 and
+        # byte-unchanged since — past entry 50 into the locally-replicated
+        # tail; they rotate back into the gated window next round
         "embed_ivf_ann": q_embed_ivf_ann,
         "embed_near_dups_lsh": q_embed_near_dups_lsh,
-        # r5 window boundary: the three new external-read queries above pushed
-        # the three streaming rows below (all green in r4) past entry 50 into
-        # the locally-replicated tail
         "streaming_cdc_merge": q_streaming_cdc_merge,
         "streaming_iceberg_mirror": q_streaming_iceberg_mirror,
         "streaming_cdc_self_maintain": q_streaming_cdc_self_maintain,
@@ -2181,6 +2303,14 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_partitioned_export_scan": (
             f"WITH images AS ({_images_select(d)}) "
             f"SELECT {_NO_BYTES} FROM images WHERE fmt = 'png'"
+        ),
+        "iceberg_day_prune_scan": (
+            "SELECT event_id, ts, user_id, event_type, value FROM events "
+            "WHERE CAST(ts AS DATE) = DATE '2024-01-15'"
+        ),
+        "iceberg_bucket_prune_scan": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE doc_id IN (7, 42, 123)"
         ),
         "iceberg_eq_delete_scan": (
             "SELECT doc_id, lang, n_chars FROM documents "

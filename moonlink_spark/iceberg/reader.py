@@ -165,12 +165,15 @@ def resolve_schema(meta: dict, snap: dict | None = None) -> dict:
 def check_supported(meta: dict, table_root: str) -> None:
     """Up-front validation of the Iceberg feature surface this engine
     consumes — a clear error beats a confusing AnalysisException deep in
-    the delete-file read. Supported: unpartitioned tables and IDENTITY
-    partition specs (partition values are per-file manifest metadata, used
-    for pruning and constant-filling). Non-identity transforms (bucket/
-    truncate/day/...) are rejected: applying their pruning semantics
-    requires the transform implementation, and silently scanning without
-    pruning would mask O(table) reads behind a partition filter."""
+    the delete-file read. Supported partition transforms: identity/void
+    (values prune AND constant-fill absent source columns) plus the spec's
+    derived transforms — bucket[N], truncate[W], year/month/day/hour —
+    whose values prune only (their sources are always materialized in data
+    files, so nothing needs filling). Unknown/future transforms are
+    rejected: silently scanning without their pruning semantics would mask
+    O(table) reads behind a partition filter."""
+    from moonlink_spark.iceberg.transforms import is_supported_transform
+
     if meta.get("format-version") not in (2, 3):
         raise ValueError(
             f"unsupported Iceberg format-version "
@@ -178,15 +181,16 @@ def check_supported(meta: dict, table_root: str) -> None:
         )
     for spec in meta.get("partition-specs", []):
         bad = [
-            f.get("name")
+            f"{f.get('name')}:{f.get('transform')}"
             for f in spec.get("fields", [])
-            if f.get("transform") not in ("identity", "void")
+            if not is_supported_transform(f.get("transform", ""))
         ]
         if bad:
             raise ValueError(
-                f"unsupported: non-identity partition transform(s) on "
-                f"fields {bad} (spec-id {spec.get('spec-id')}) at "
-                f"{table_root}; only identity/void transforms are supported"
+                f"unsupported partition transform(s) on fields {bad} "
+                f"(spec-id {spec.get('spec-id')}) at {table_root}; supported "
+                f"transforms: identity/void/year/month/day/hour/bucket[N]/"
+                f"truncate[W]"
             )
 
 
@@ -212,6 +216,44 @@ def identity_partition_sources(meta: dict) -> dict[int, dict[str, str]]:
                     )
                 m[f["name"]] = src
         out[int(spec["spec-id"])] = m
+    return out
+
+
+def partition_pruner_fields(meta: dict) -> dict[int, list[dict]]:
+    """Per spec-id: the fields usable for metadata pruning — every
+    supported non-void transform, each as ``{"name", "transform",
+    "source", "type"}`` (source column name + its Iceberg type, resolved
+    by source-id across the schema history). Identity fields appear here
+    too: identity pruning is just apply_transform("identity", ...)."""
+    id_to_name: dict[int, str] = {}
+    id_to_type: dict[int, object] = {}
+    for s in meta.get("schemas", []):
+        for f in s.get("fields", []):
+            id_to_name.setdefault(int(f["id"]), f["name"])
+            id_to_type.setdefault(int(f["id"]), f["type"])
+    out: dict[int, list[dict]] = {}
+    for spec in meta.get("partition-specs", []):
+        fields = []
+        for f in spec.get("fields", []):
+            tr = f.get("transform", "")
+            if tr == "void":
+                continue
+            src_id = int(f["source-id"])
+            if src_id not in id_to_name:
+                raise ValueError(
+                    f"partition field {f.get('name')} references unknown "
+                    f"source-id {src_id}"
+                )
+            ty = id_to_type[src_id]
+            fields.append(
+                {
+                    "name": f["name"],
+                    "transform": tr,
+                    "source": id_to_name[src_id],
+                    "type": ty if isinstance(ty, str) else "struct",
+                }
+            )
+        out[int(spec["spec-id"])] = fields
     return out
 
 
@@ -287,13 +329,20 @@ def read_iceberg_scan(
     travel by *snapshot_id* or by wall-clock *as_of_ms* (snapshot-log
     resolution).
 
-    Identity-partitioned tables are supported: each data file's partition
-    values live in its manifest entry (metadata, not data), so
-    *partition_filter* — ``{source_column: value}`` — prunes files
-    DRIVER-SIDE before any parquet is opened (the scan never plans the
-    pruned files), and partition columns physically absent from a data
-    file are constant-filled from the manifest value via a broadcast
-    file→value map (the spec's identity-partition read rule).
+    Partitioned tables are supported across the spec's transforms: each
+    data file's partition values live in its manifest entry (metadata, not
+    data), so *partition_filter* — ``{source_column: value}`` — prunes
+    files DRIVER-SIDE before any parquet is opened (the scan never plans
+    the pruned files). The filter value is pushed through every partition
+    field's transform (identity, bucket[N], truncate[W], year/month/day/
+    hour — Appendix-B Murmur3 for buckets) and compared to the stored
+    value; note the filter PRUNES files, it does not filter rows — for
+    non-identity transforms compose it with a row filter (e.g. bucket
+    pruning keeps the whole matching bucket). Identity partition columns
+    physically absent from a data file are constant-filled from the
+    manifest value via a broadcast file→value map (the spec's
+    identity-partition read rule); temporal/datetime filter values may be
+    ``datetime``/``date`` objects or raw epoch micros/days ints.
 
     Equality deletes (content=2, the Flink-CDC shape) are applied with the
     spec's sequence semantics — a delete at sequence S removes matching
@@ -317,10 +366,13 @@ def read_iceberg_scan(
         sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
     spec_sources = identity_partition_sources(meta)
+    spec_pruners = partition_pruner_fields(meta)
 
     data_paths: list[str] = []
     first_ids: dict[str, int | None] = {}
     file_parts: dict[str, dict] = {}  # path → {source_col: partition value}
+    # path → [(source_col, transform, source_type, stored partition value)]
+    file_prune: dict[str, list[tuple]] = {}
     file_seqs: dict[str, int] = {}  # path → data sequence number
     delete_paths: list[str] = []
     puffin_entries: list[dict] = []
@@ -328,6 +380,7 @@ def read_iceberg_scan(
     n_delete_rows = 0
     for m in _manifest_list_entries(spark, snap["manifest-list"]):
         src_by_pfield = spec_sources.get(m.get("partition_spec_id", 0), {})
+        pruner_fields = spec_pruners.get(m.get("partition_spec_id", 0), [])
         for e in _manifest_entries(spark, m["manifest_path"]):
             if e["status"] == 2:  # DELETED entry: file no longer live
                 continue
@@ -342,11 +395,17 @@ def read_iceberg_scan(
                 data_paths.append(e["file_path"])
                 first_ids[e["file_path"]] = e.get("first_row_id")
                 file_seqs[e["file_path"]] = seq
+                part = e.get("partition") or {}
                 file_parts[e["file_path"]] = {
                     src_by_pfield[name]: v
-                    for name, v in (e.get("partition") or {}).items()
+                    for name, v in part.items()
                     if name in src_by_pfield
                 }
+                file_prune[e["file_path"]] = [
+                    (pf["source"], pf["transform"], pf["type"], part.get(pf["name"]))
+                    for pf in pruner_fields
+                    if pf["name"] in part
+                ]
             elif e["content"] == 2:
                 eq_entries.append({**e, "_seq": seq})
                 n_delete_rows += e["record_count"]
@@ -361,24 +420,38 @@ def read_iceberg_scan(
         raise ValueError(f"no live data files in snapshot {sid} of {table_root}")
 
     if partition_filter:
-        known = {c for m_ in spec_sources.values() for c in m_.values()}
+        from moonlink_spark.iceberg.transforms import apply_transform
+
+        known = {f["source"] for fs in spec_pruners.values() for f in fs}
         unknown = sorted(set(partition_filter) - known)
         if unknown:
             raise ValueError(
                 f"partition_filter references non-partition column(s) "
-                f"{unknown}; identity partition sources are {sorted(known)}"
+                f"{unknown}; partition source columns are {sorted(known)}"
             )
         # metadata-only pruning: a file is kept unless its manifest entry
-        # carries a CONFLICTING value; files from specs not partitioned on
-        # the column can't be pruned and stay in the scan
-        data_paths = [
-            p
-            for p in data_paths
-            if all(
-                c not in file_parts[p] or file_parts[p][c] == v
-                for c, v in partition_filter.items()
-            )
-        ]
+        # carries a CONFLICTING value under some partition field on the
+        # filtered source column — the filter value is run through the
+        # field's transform (identity/bucket/truncate/temporal) and compared
+        # to the stored partition value. Files from specs not partitioned on
+        # the column can't be pruned and stay in the scan; transforms on the
+        # same source compose (e.g. day(ts) + bucket(ts) both prune).
+        expected_cache: dict[tuple, object] = {}
+
+        def _conflicts(p: str) -> bool:
+            for src, tr, ty, stored in file_prune.get(p, []):
+                if stored is None or src not in partition_filter:
+                    continue
+                ck = (src, tr, ty)
+                if ck not in expected_cache:
+                    expected_cache[ck] = apply_transform(
+                        tr, partition_filter[src], ty
+                    )
+                if expected_cache[ck] != stored:
+                    return True
+            return False
+
+        data_paths = [p for p in data_paths if not _conflicts(p)]
         if not data_paths:
             # empty result with the snapshot-schema columns, no scan at all
             snap_schema0 = resolve_schema(meta, snap)

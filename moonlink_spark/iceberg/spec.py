@@ -263,6 +263,8 @@ def spark_type(t) -> T.DataType:
         "binary": T.BinaryType(),
         "date": T.DateType(),
         "timestamptz": T.TimestampType(),
+        # external tables: the spec's naive timestamp (isAdjustedToUTC=false)
+        "timestamp": T.TimestampNTZType(),
     }
     if t in mapping:
         return mapping[t]

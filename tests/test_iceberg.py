@@ -339,12 +339,12 @@ def test_export_schema_history_time_travel(spark, tmp_path):
 
 
 def test_partition_spec_support_boundary(spark, tmp_path):
-    """Partition-spec feature boundary: IDENTITY specs are accepted (files
-    whose manifest entries carry no partition values simply can't be
-    pruned or constant-filled), while non-identity transforms (bucket,
-    day, ...) raise a clear up-front error from both the reader and the
-    importer — their pruning semantics need the transform implementation,
-    and scanning without it would silently lose pruning."""
+    """Partition-spec feature boundary: identity AND the spec's derived
+    transforms (bucket/truncate/temporal) are accepted — files whose
+    manifest entries carry no partition values simply can't be pruned —
+    while unknown/future transforms raise a clear up-front error from both
+    the reader and the importer (scanning without their pruning semantics
+    would silently lose pruning)."""
     from moonlink_spark.iceberg import import_iceberg
 
     t = create_images_table(spark, str(tmp_path / "tbl"), 100, seed=42)
@@ -366,16 +366,26 @@ def test_partition_spec_support_boundary(spark, tmp_path):
         json.dump(meta, f)
     assert read_iceberg_scan(spark, dest).count() == t.scan().count()
 
-    # non-identity transform → rejected by both
+    # bucket transform: accepted since transform support landed (values
+    # absent from these manifests → nothing prunes, scan still correct)
     meta["partition-specs"] = [{"spec-id": 0, "fields": [
         {"source-id": 1, "field-id": 1000, "name": "fmt_bucket",
          "transform": "bucket[16]"}
     ]}]
     with open(mpath, "w") as f:
         json.dump(meta, f)
-    with pytest.raises(ValueError, match="non-identity"):
+    assert read_iceberg_scan(spark, dest).count() == t.scan().count()
+
+    # unknown future transform → rejected by both
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"source-id": 1, "field-id": 1000, "name": "fmt_shard",
+         "transform": "zstd-shard[4]"}
+    ]}]
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="unsupported partition transform"):
         read_iceberg_scan(spark, dest)
-    with pytest.raises(ValueError, match="non-identity"):
+    with pytest.raises(ValueError, match="unsupported partition transform"):
         import_iceberg(spark, dest, str(tmp_path / "adopted"))
 
 

@@ -1,0 +1,257 @@
+"""Partition transforms in the external spec reader: bucket[N] /
+truncate[W] / year-month-day-hour pruning over hand-built spec-compliant
+tables (the shapes Spark/Flink/Trino writers actually produce).
+
+The Murmur3 vectors are the Iceberg spec's own published Appendix-B test
+values — if those pin, every bucket boundary agrees with Java writers.
+"""
+
+import json
+import os
+from datetime import date, datetime
+
+import pytest
+
+from moonlink_spark.iceberg.transforms import (
+    apply_transform,
+    bucket_bytes,
+    is_supported_transform,
+    murmur3_x86_32,
+)
+
+
+def test_murmur3_spec_vectors():
+    """Iceberg spec Appendix B: hash values every implementation must
+    reproduce bit-for-bit."""
+    assert murmur3_x86_32(bucket_bytes(34, "int")) == 2017239379
+    assert murmur3_x86_32(bucket_bytes(34, "long")) == 2017239379
+    assert murmur3_x86_32(bucket_bytes("iceberg", "string")) == 1210000089
+    assert murmur3_x86_32(bucket_bytes(date(2017, 11, 16), "date")) == -653330422
+    assert (
+        murmur3_x86_32(bucket_bytes(datetime(2017, 11, 16, 22, 31, 8), "timestamp"))
+        == -2047944441
+    )
+
+
+def test_transform_semantics():
+    assert apply_transform("bucket[16]", 34, "int") == 2017239379 % 16
+    assert apply_transform("truncate[10]", -1, "int") == -10  # floor, not trunc
+    assert apply_transform("truncate[10]", 17, "long") == 10
+    assert apply_transform("truncate[3]", "iceberg", "string") == "ice"
+    ts = datetime(2017, 11, 16, 22, 31, 8)
+    assert apply_transform("day", ts, "timestamp") == 17486
+    assert apply_transform("hour", ts, "timestamp") == 17486 * 24 + 22
+    assert apply_transform("month", date(2017, 11, 16), "date") == 47 * 12 + 10
+    assert apply_transform("year", date(2017, 11, 16), "date") == 47
+    assert apply_transform("identity", ts, "timestamp") == 1510871468000000
+    assert apply_transform("bucket[8]", None, "string") is None  # NULL propagates
+    assert is_supported_transform("bucket[512]")
+    assert not is_supported_transform("zorder")
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        apply_transform("sha256", 1, "int")
+
+
+def _build_bucket_day_table(root, n_buckets=4):
+    """Spec-compliant v2 table partitioned by (day(ts), bucket[N](id)):
+    ids 0..99 on 2024-01-01, 100..199 on 2024-01-02, one data file per
+    (day, bucket) — exactly what an Iceberg-native writer produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moonlink_spark.iceberg.avro_io import write_avro_file
+    from moonlink_spark.iceberg.spec import MANIFEST_FILE_SCHEMA, manifest_entry_schema
+
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {"id": 2, "name": "ts", "required": False, "type": "timestamp"},
+                {"id": 3, "name": "v", "required": False, "type": "long"},
+            ],
+        }
+    )
+    spec_fields = [
+        {"name": "ts_day", "transform": "day", "source-id": 2, "field-id": 1000},
+        {
+            "name": "id_bucket",
+            "transform": f"bucket[{n_buckets}]",
+            "source-id": 1,
+            "field-id": 1001,
+        },
+    ]
+    part_avro = [
+        {"name": "ts_day", "field-id": 1000, "type": "int"},
+        {"name": "id_bucket", "field-id": 1001, "type": "int"},
+    ]
+
+    days = [datetime(2024, 1, 1, 6, 30), datetime(2024, 1, 2, 18, 45)]
+    entries = []
+    groups = {}
+    for i in range(200):
+        d = days[i // 100]
+        b = apply_transform(f"bucket[{n_buckets}]", i, "long")
+        groups.setdefault((apply_transform("day", d, "timestamp"), b), []).append(
+            (i, d)
+        )
+    for (day_val, b), rows in sorted(groups.items()):
+        p = str(root / "data" / f"d{day_val}-b{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "v": pa.array([r[0] * 10 for r in rows], pa.int64()),
+                }
+            ),
+            p,
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 9,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {"ts_day": int(day_val), "id_bucket": int(b)},
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+
+    mdir = str(root / "metadata")
+    mp = os.path.join(mdir, "manifest-data.avro")
+    size = write_avro_file(
+        mp,
+        manifest_entry_schema(part_avro),
+        entries,
+        metadata={
+            "schema": schema_json.encode(),
+            "schema-id": b"0",
+            "partition-spec": json.dumps(spec_fields).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+    ml = os.path.join(mdir, "snap-9-1-x.avro")
+    write_avro_file(
+        ml,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": mp,
+                "manifest_length": size,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 9,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": 200,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        ],
+        metadata={
+            "format-version": b"2",
+            "snapshot-id": b"9",
+            "sequence-number": b"1",
+        },
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "1" * 36,
+        "location": str(root),
+        "last-sequence-number": 1,
+        "last-updated-ms": 1,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [json.loads(schema_json)],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1001,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 9,
+        "snapshots": [
+            {
+                "snapshot-id": 9,
+                "sequence-number": 1,
+                "timestamp-ms": 1,
+                "manifest-list": ml,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"snapshot-id": 9, "timestamp-ms": 1}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return len(groups)
+
+
+def test_bucket_and_day_pruning(spark, tmp_path):
+    from moonlink_spark.iceberg import read_iceberg_scan
+
+    root = tmp_path / "ext"
+    n_files = _build_bucket_day_table(root)
+
+    full = read_iceberg_scan(spark, str(root))
+    assert full.count() == 200
+    assert len(full.inputFiles()) == n_files
+
+    # bucket pruning: files of bucket(57) only, across both days — the
+    # filter prunes FILES; the composed row filter isolates the row
+    b57 = apply_transform("bucket[4]", 57, "long")
+    by_id = read_iceberg_scan(spark, str(root), partition_filter={"id": 57})
+    kept = len(by_id.inputFiles())
+    assert kept == sum(
+        1 for f in full.inputFiles() if f"-b{b57}.parquet" in f
+    ) and 0 < kept < n_files
+    assert by_id.filter("id = 57").count() == 1
+    assert by_id.filter("id = 57").first()["v"] == 570
+
+    # day pruning: one day's files, datetime filter value
+    jan2 = read_iceberg_scan(
+        spark, str(root), partition_filter={"ts": datetime(2024, 1, 2, 0, 0, 1)}
+    )
+    assert jan2.count() == 100
+    assert {r["id"] for r in jan2.select("id").collect()} == set(range(100, 200))
+    assert all("-b" in f and "d19724-" in f for f in jan2.inputFiles())
+
+    # composed: both transforms prune (1 file: the day-2 file of bucket(157))
+    both = read_iceberg_scan(
+        spark,
+        str(root),
+        partition_filter={"ts": datetime(2024, 1, 2, 12, 0), "id": 157},
+    )
+    assert len(both.inputFiles()) == 1
+    assert both.filter("id = 157").count() == 1
+
+    # unknown filter column still rejected with the full source list
+    with pytest.raises(ValueError, match="non-partition column"):
+        read_iceberg_scan(spark, str(root), partition_filter={"nope": 1})
+
+    # unknown FUTURE transform still rejected up front
+    mpath = os.path.join(str(root), "metadata", "v1.metadata.json")
+    meta = json.load(open(mpath))
+    meta["partition-specs"][0]["fields"][0]["transform"] = "zstd-shard"
+    json.dump(meta, open(mpath, "w"))
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        read_iceberg_scan(spark, str(root))

@@ -451,14 +451,18 @@ def export_iceberg(
     form, deletion_vector.rs:15-21) with v3 row-lineage metadata. A dest
     already exported at one version cannot be re-exported at the other.
 
-    *partition_by*: export with an IDENTITY partition spec on these
-    columns, STATS-DRIVEN and zero-rewrite: every data file must already
-    hold exactly one value per column (per-file min == max in the catalog
-    stats — what clustering by those columns produces), and that value is
-    recorded as the file's manifest partition tuple, so external readers
-    get metadata-level partition pruning over the same in-place files. A
-    file spanning values is a clear error (cluster first), not a silent
-    unpartitioned export; re-exports must pass the same partition_by."""
+    *partition_by*: export with a partition spec on these entries — bare
+    column names (identity) or monotonic transform expressions
+    ("day(ts)", "year(ts)", "truncate[4](name)", ...) — STATS-DRIVEN and
+    zero-rewrite: every data file must already map to exactly one
+    partition value (transform(min) == transform(max) in the catalog's
+    per-file stats — what align clustering by the same expressions
+    produces), and that value is recorded as the file's manifest partition
+    tuple, so external readers get metadata-level partition pruning over
+    the same in-place files. A file spanning values is a clear error
+    (cluster first), not a silent unpartitioned export; bucket[N] is
+    rejected (min==max cannot witness bucket alignment); re-exports must
+    pass the same partition_by."""
     if format_version not in (2, 3):
         raise ValueError(f"unsupported format_version {format_version}")
     meta = table.meta
@@ -539,47 +543,96 @@ def export_iceberg(
         + ([prior["last-column-id"]] if prior else [])
     )
 
-    # ---- identity partition spec (optional, stats-driven) ----------------
+    # ---- partition spec (optional, stats-driven, zero-rewrite) -----------
+    # entries are column names (identity) or transform expressions like
+    # "day(ts)" / "truncate[4](caption)". A file is exportable under a
+    # field iff transform(min) == transform(max) in the catalog's per-file
+    # stats — exact for identity and for the MONOTONIC transforms
+    # (temporal, truncate). bucket[N] is rejected up front: min==max can't
+    # witness bucket alignment (a bucket spans the key range), so a
+    # stats-driven bucket export would be silently wrong.
     spec_fields: list[dict] = []
     part_avro_fields: list[dict] = []
     part_values: dict[str, dict] = {}
     if partition_by:
-        _AVRO_OK = {"string", "long", "int", "double", "float", "boolean"}
-        for i, c in enumerate(partition_by):
-            sf = schema_by_name.get(c)
+        from moonlink_spark.iceberg.transforms import (
+            apply_transform,
+            parse_partition_expr,
+            partition_field_name,
+        )
+
+        _IDENTITY_OK = {"string", "long", "int", "double", "float", "boolean"}
+        _PTYPE = {"date": "int", "timestamp": "long", "timestamptz": "long"}
+        parsed: list[tuple[str, str, str, str]] = []  # (field, transform, src, itype)
+        for i, expr in enumerate(partition_by):
+            tr, src = parse_partition_expr(expr)
+            sf = schema_by_name.get(src)
             if sf is None:
-                raise ValueError(f"partition_by column {c!r} not in schema")
-            itype = iceberg_type(sf.dataType)
-            if itype not in _AVRO_OK:
+                raise ValueError(f"partition_by column {src!r} not in schema")
+            if tr.startswith("bucket["):
                 raise ValueError(
-                    f"unsupported identity-partition type {itype!r} for "
-                    f"column {c!r} (supported: {sorted(_AVRO_OK)})"
+                    f"partition_by {expr!r}: bucket export is not "
+                    f"stats-derivable (per-file min==max cannot witness "
+                    f"bucket alignment); use a temporal/truncate/identity "
+                    f"transform, or write bucket layouts with an external "
+                    f"engine and read them via read_iceberg_scan"
                 )
+            itype = iceberg_type(sf.dataType)
+            fname = partition_field_name(tr, src)
+            if tr == "identity":
+                ptype = _PTYPE.get(itype, itype)
+                if ptype not in _IDENTITY_OK and itype not in _PTYPE:
+                    raise ValueError(
+                        f"unsupported identity-partition type {itype!r} for "
+                        f"column {src!r}"
+                    )
+            elif tr in ("year", "month", "day", "hour"):
+                if itype != "date" and not itype.startswith("timestamp"):
+                    raise ValueError(
+                        f"partition_by {expr!r}: {tr} needs a date/timestamp "
+                        f"source, got {itype!r}"
+                    )
+                ptype = "int"
+            else:  # truncate[W]
+                if itype not in ("int", "long", "string"):
+                    raise ValueError(
+                        f"partition_by {expr!r}: truncate needs int/long/"
+                        f"string source, got {itype!r}"
+                    )
+                ptype = itype
             spec_fields.append(
-                {"name": c, "transform": "identity",
-                 "source-id": int(field_ids[c]), "field-id": 1000 + i}
+                {"name": fname, "transform": tr,
+                 "source-id": int(field_ids[src]), "field-id": 1000 + i}
             )
             part_avro_fields.append(
-                {"name": c, "field-id": 1000 + i, "type": itype}
+                {"name": fname, "field-id": 1000 + i, "type": ptype}
             )
+            parsed.append((fname, tr, src, itype))
         # alignment gate: per-file column stats already live in the catalog
         # (in-pass Arrow stats), so this is metadata-only — no data read
         for f in data_files:
             st = f.stats or {}
             vals = {}
-            for c in partition_by:
-                s = st.get(c) or {}
-                if s.get("min") is None or s.get("min") != s.get("max"):
+            for fname, tr, src, itype in parsed:
+                s = st.get(src) or {}
+                if s.get("min") is None or s.get("max") is None:
                     raise ValueError(
-                        f"cannot export identity-partitioned on {c!r}: data "
-                        f"file {f.file_path} spans "
-                        f"[{s.get('min')!r}, {s.get('max')!r}] — cluster the "
-                        f"table by {list(partition_by)} first so every file "
-                        f"holds exactly one partition value (optimize(table, "
-                        f"mode='full', cluster_by={list(partition_by)}, "
-                        f"curve='align'))"
+                        f"cannot export partitioned on {src!r}: data file "
+                        f"{f.file_path} has no column stats for it"
                     )
-                vals[c] = s["min"]
+                vmin = apply_transform(tr, s["min"], itype)
+                vmax = apply_transform(tr, s["max"], itype)
+                if vmin != vmax:
+                    raise ValueError(
+                        f"cannot export partitioned on {fname!r}: data "
+                        f"file {f.file_path} spans "
+                        f"[{s.get('min')!r}, {s.get('max')!r}] → partition "
+                        f"values [{vmin!r}, {vmax!r}] — cluster the table "
+                        f"first so every file holds one partition value "
+                        f"(optimize(table, mode='full', "
+                        f"cluster_by={list(partition_by)}, curve='align'))"
+                    )
+                vals[fname] = vmin
             part_values[norm_path(f.file_path)] = vals
     if prior is not None:
         prior_spec = prior["partition-specs"][0].get("fields", [])

@@ -20,6 +20,8 @@ import re
 import struct
 from datetime import date, datetime, timedelta
 
+import pandas as pd
+
 _EPOCH_DT = datetime(1970, 1, 1)
 _EPOCH_D = date(1970, 1, 1)
 _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
@@ -83,7 +85,10 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
 
 def _to_micros(value) -> int:
     """Timestamp value → microseconds since epoch (naive treated as UTC).
-    Exact integer arithmetic — no float round-trip."""
+    Exact integer arithmetic — no float round-trip. ISO strings accepted
+    (per-file catalog stats serialize timestamps as isoformat)."""
+    if isinstance(value, str):
+        value = datetime.fromisoformat(value)
     if isinstance(value, datetime):
         td = value.replace(tzinfo=None) - _EPOCH_DT
         return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
@@ -91,7 +96,9 @@ def _to_micros(value) -> int:
 
 
 def _to_days(value) -> int:
-    """Date value → days since epoch."""
+    """Date value → days since epoch (ISO strings accepted)."""
+    if isinstance(value, str):
+        value = date.fromisoformat(value[:10])
     if isinstance(value, datetime):
         return (value.date() - _EPOCH_D).days
     if isinstance(value, date):
@@ -156,10 +163,14 @@ def apply_transform(transform: str, value, source_type: str):
     if value is None:
         return None
     if transform == "identity":
+        # temporal sources normalize to the spec's integer representation
+        # (days / micros since epoch); ISO strings come from catalog stats
         if source_type == "date":
-            return _to_days(value) if isinstance(value, (date, datetime)) else value
+            return (
+                _to_days(value) if isinstance(value, (date, datetime, str)) else value
+            )
         if source_type.startswith("timestamp"):
-            return _to_micros(value) if isinstance(value, datetime) else value
+            return _to_micros(value) if isinstance(value, (datetime, str)) else value
         return value
     if transform == "void":
         return None
@@ -181,3 +192,120 @@ def apply_transform(transform: str, value, source_type: str):
             return bytes(value)[:w]
         raise ValueError(f"truncate unsupported for source type {source_type!r}")
     raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+_EXPR_RE = re.compile(
+    r"^(year|month|day|hour|bucket\[\d+\]|truncate\[\d+\]|identity)\((\w+)\)$"
+)
+_BARE_RE = re.compile(r"^\w+$")
+
+
+def parse_partition_expr(expr: str) -> tuple[str, str]:
+    """``"day(ts)"`` → ``("day", "ts")``; a bare column name is identity.
+    The accepted grammar is exactly the spec's transform set — the same
+    strings `partition_by=` and align clustering's `by=` take."""
+    m = _EXPR_RE.match(expr.strip())
+    if m:
+        return m.group(1), m.group(2)
+    if _BARE_RE.match(expr.strip()):
+        return "identity", expr.strip()
+    raise ValueError(
+        f"bad partition expression {expr!r} — use a column name or "
+        f"transform(column) with transform in year/month/day/hour/"
+        f"bucket[N]/truncate[W]"
+    )
+
+
+def partition_field_name(transform: str, source: str) -> str:
+    """Iceberg's conventional partition-field naming (ts_day, id_bucket...)."""
+    if transform == "identity":
+        return source
+    base = transform.split("[", 1)[0]
+    return f"{source}_{base}"
+
+
+def transform_column(transform: str, col_name: str, source_type: str):
+    """The transform as a JVM-side pyspark Column over *col_name* —
+    whole-stage-codegen for everything except bucket (whose Murmur3 seed-0
+    hash has no Spark builtin; Spark's `hash()` is seed-42 and a different
+    byte layout). Bucket callers get a vectorized Arrow-batched fallback
+    via `bucket_series`. Temporal results match apply_transform exactly
+    (session timezone must be UTC, which moonlink_spark sessions pin)."""
+    from pyspark.sql import functions as F
+
+    if transform == "identity":
+        return F.col(col_name)
+    if transform == "day":
+        return F.datediff(F.col(col_name).cast("date"), F.lit("1970-01-01"))
+    if transform == "year":
+        return F.year(F.col(col_name)) - F.lit(1970)
+    if transform == "month":
+        return (F.year(F.col(col_name)) - F.lit(1970)) * F.lit(12) + (
+            F.month(F.col(col_name)) - F.lit(1)
+        )
+    if transform == "hour":
+        return F.floor(F.col(col_name).cast("double") / F.lit(3600.0)).cast("int")
+    m = _TRUNCATE_RE.match(transform)
+    if m:
+        w = int(m.group(1))
+        if source_type in ("int", "long"):
+            return F.col(col_name) - F.pmod(F.col(col_name), F.lit(w))
+        if source_type == "string":
+            return F.substring(F.col(col_name), 1, w)
+        raise ValueError(f"truncate unsupported for source type {source_type!r}")
+    m = _BUCKET_RE.match(transform)
+    if m:
+        n = int(m.group(1))
+        src_ty = source_type
+
+        from pyspark.sql import functions as F2
+
+        @F2.pandas_udf("int")
+        def _bucket(col: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if src_ty in ("int", "long"):
+                vals = murmur3_x86_32_long(col.to_numpy(dtype=np.int64))
+            else:
+                vals = np.fromiter(
+                    (murmur3_x86_32(bucket_bytes(v, src_ty)) for v in col),
+                    dtype=np.int64,
+                    count=len(col),
+                )
+            return pd.Series(((vals & 0x7FFFFFFF) % n).astype(np.int32))
+
+        return _bucket(F.col(col_name))
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+def murmur3_x86_32_long(vals: "object") -> "object":
+    """Vectorized numpy Murmur3 x86/32 over int64 values serialized as
+    8-byte little-endian (the Appendix-B long layout): the two 4-byte
+    blocks are the low and high words, so the whole hash is closed-form
+    over uint32 arrays — no per-row Python."""
+    import numpy as np
+
+    v = vals.astype(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+
+    def _mix_k(k):
+        k = (k * c1).astype(np.uint32)
+        k = ((k << np.uint32(15)) | (k >> np.uint32(17))).astype(np.uint32)
+        return (k * c2).astype(np.uint32)
+
+    h = np.zeros(len(v), dtype=np.uint32)
+    for word in (
+        (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),        # low LE block
+        (v >> np.uint64(32)).astype(np.uint32),               # high LE block
+    ):
+        h ^= _mix_k(word)
+        h = ((h << np.uint32(13)) | (h >> np.uint32(19))).astype(np.uint32)
+        h = (h * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+    h ^= np.uint32(8)  # length
+    h ^= h >> np.uint32(16)
+    h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    h ^= h >> np.uint32(13)
+    h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    return h.astype(np.int64) - (h >= np.uint32(1 << 31)).astype(np.int64) * (1 << 32)

@@ -110,6 +110,43 @@ def _column_bounds(table: MoonTable, files, by: list[str]) -> list[tuple[float, 
     return [(float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in by]
 
 
+def _align_key_cols(by: list[str], schema) -> list[tuple[str, object]]:
+    """Per align entry: (key column name, derivation Column or None).
+    Bare columns group on themselves; transform expressions ("day(ts)",
+    "truncate[4](caption)") group on a derived column computed JVM-side
+    (bucket[N] via the vectorized Arrow fallback) — the derived value is
+    exactly the Iceberg partition value, so an align-by-"day(ts)" rewrite
+    produces files exportable with partition_by=["day(ts)"]."""
+    from moonlink_spark.iceberg.spec import iceberg_type
+    from moonlink_spark.iceberg.transforms import (
+        parse_partition_expr,
+        partition_field_name,
+        transform_column,
+    )
+
+    cols: list[tuple[str, object]] = []
+    for expr in by:
+        tr, src = parse_partition_expr(expr)
+        if src not in schema.names:
+            raise ValueError(f"align column {src!r} not in table schema")
+        itype = iceberg_type(schema[src].dataType)
+        if tr == "identity":
+            if itype == "date" or itype.startswith("timestamp"):
+                raise ValueError(
+                    f"align on raw temporal column {src!r}: group by a "
+                    f"temporal transform instead (e.g. 'day({src})')"
+                )
+            cols.append((src, None))
+        else:
+            cols.append(
+                (
+                    f"_align_{partition_field_name(tr, src)}",
+                    transform_column(tr, src, itype),
+                )
+            )
+    return cols
+
+
 def _plan_align(
     table: MoonTable,
     run_id: str,
@@ -133,9 +170,14 @@ def _plan_align(
     target_bytes get a proportional salt factor — the existing salted-bin
     machinery — so a hot partition value (skewed fmt) splits into several
     files of that one value instead of one giant file."""
+    read = table._read_data(files, with_position=False)
+    key_cols = _align_key_cols(by, read.schema)
+    for name, col in key_cols:
+        if col is not None:
+            read = read.withColumn(name, col)
+    key_names = [name for name, _ in key_cols]
     counts = (
-        table._read_data(files, with_position=False)
-        .groupBy(*by)
+        read.groupBy(*key_names)
         .count()
         .limit(_ALIGN_MAX_VALUES + 1)
         .collect()
@@ -148,14 +190,14 @@ def _plan_align(
             f"keys"
         )
     for r in counts:
-        if any(r[c] is None for c in by):
+        if any(r[c] is None for c in key_names):
             raise ValueError(
                 f"curve='align' on {by}: NULL partition value found — "
                 f"identity-partition export requires non-null values; "
                 f"filter or backfill NULLs first"
             )
-    rows = sorted(counts, key=lambda r: tuple(r[c] for c in by))
-    values = [[r[c] for c in by] for r in rows]
+    rows = sorted(counts, key=lambda r: tuple(r[c] for c in key_names))
+    values = [[r[c] for c in key_names] for r in rows]
     n = max(1, len(values))
     bytes_per_row = total_live / total_rows
     salts = [
@@ -317,12 +359,21 @@ def assign_keys_and_bins(df, plan: ClusterPlan, key_col: str, bits: int = DEFAUL
         # categorical alignment: the plan's sorted distinct value tuples map
         # to (key index, bin offset, salt) — attached via ONE broadcast hash
         # join, so the hot path is pure JVM codegen at ANY value cardinality
-        # (no array literals in the plan, no Python worker)
+        # (no array literals in the plan, no Python worker). Transform
+        # expressions ("day(ts)") first derive their key column the same
+        # way the plan did, and the derived columns are dropped after.
         from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
         spark = df.sparkSession
+        key_cols = _align_key_cols(by_cols, df.schema)
+        derived = []
+        for name, col in key_cols:
+            if col is not None:
+                df = df.withColumn(name, col)
+                derived.append(name)
+        key_names = [name for name, _ in key_cols]
         map_schema = StructType(
-            [df.schema[c] for c in by_cols]
+            [df.schema[c] for c in key_names]
             + [
                 StructField("_zkey", LongType(), False),
                 StructField("_off", IntegerType(), False),
@@ -334,10 +385,11 @@ def assign_keys_and_bins(df, plan: ClusterPlan, key_col: str, bits: int = DEFAUL
             for i, vals in enumerate(plan.values or [])
         ]
         map_df = spark.createDataFrame(map_rows, map_schema)
-        joined = df.join(F.broadcast(map_df), on=list(by_cols), how="left")
+        joined = df.join(F.broadcast(map_df), on=key_names, how="left")
         salt = F.when(
             F.col("_saltn") > 1,
-            F.pmod(F.crc32(F.col(key_col).cast("binary")), F.col("_saltn")),
+            F.pmod(F.crc32(F.col(key_col).cast("string").cast("binary")),
+                   F.col("_saltn")),
         ).otherwise(F.lit(0))
         # the null-key branch raises INSIDE the bin expression (a separate
         # assert column would be pruned away as unused): execute reads only
@@ -348,7 +400,7 @@ def assign_keys_and_bins(df, plan: ClusterPlan, key_col: str, bits: int = DEFAUL
                 F.lit("align: value tuple not in plan (plan/execute drift)")
             ).cast("int"),
         ).otherwise((F.col("_off") + salt).cast("int"))
-        return joined.withColumn("_bin", bin_col).drop("_off", "_saltn")
+        return joined.withColumn("_bin", bin_col).drop("_off", "_saltn", *derived)
 
     if curve_name == "zorder":
         from moonlink_spark.functions.zorder import zorder_key_column
@@ -369,7 +421,8 @@ def assign_keys_and_bins(df, plan: ClusterPlan, key_col: str, bits: int = DEFAUL
             # deterministic salt from the row key string (crc32: stable across
             # processes; matches zlib.crc32 over UTF-8 bytes)
             salt = F.when(
-                salt_n > 1, F.pmod(F.crc32(F.col(key_col).cast("binary")), salt_n)
+                salt_n > 1,
+                F.pmod(F.crc32(F.col(key_col).cast("string").cast("binary")), salt_n)
             ).otherwise(F.lit(0))
             return df.withColumn("_bin", (off + salt).cast("int")).drop("_base")
 

@@ -141,3 +141,117 @@ def test_align_plan_is_broadcast_join_no_python(spark, tmp_table_root):
     assert "BroadcastHashJoin" in txt
     for bad in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
         assert bad not in txt
+
+
+def _events_table(spark, root, n=800):
+    """MoonTable with timestamps spanning 4 days, files mixing days."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("id") % 4) * 86400 + (F.col("id") % 24) * 3600
+        ).alias("ts"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    t = MoonTable.create(spark, root, schema, key_columns=["event_id"])
+    t.append(df, run_id="a1")
+    return t
+
+
+def test_align_day_then_temporal_export(spark, tmp_path):
+    """The event-table chain: files span days -> export refuses -> align by
+    the day(ts) TRANSFORM (derived key, same broadcast-join kernel) ->
+    stats-driven day-partitioned export (transform(min)==transform(max)
+    gate) -> external reader prunes one day from manifest metadata."""
+    import datetime as _dt
+
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.iceberg.reader import load_iceberg_metadata
+
+    t = _events_table(spark, str(tmp_path / "tbl"))
+    dest = str(tmp_path / "ice")
+    with pytest.raises(ValueError, match="cluster the table"):
+        export_iceberg(t, dest, partition_by=["day(ts)"])
+
+    cluster(t, by=["day(ts)"], curve="align", run_id="al1")
+    assert t.scan().count() == 800
+    export_iceberg(t, dest, partition_by=["day(ts)"])
+    meta = load_iceberg_metadata(dest)
+    f0 = meta["partition-specs"][0]["fields"][0]
+    assert f0["transform"] == "day" and f0["name"] == "ts_day"
+
+    full = read_iceberg_scan(spark, dest)
+    assert full.count() == 800
+    jan3 = read_iceberg_scan(
+        spark, dest, partition_filter={"ts": _dt.datetime(2024, 1, 3, 15, 0)}
+    )
+    assert 0 < len(jan3.inputFiles()) < len(full.inputFiles())
+    got = {r["event_id"] for r in jan3.select("event_id").collect()}
+    assert got == {i for i in range(800) if i % 4 == 2}  # day 3 = id%4==2
+
+    # bucket export is rejected up front (stats cannot witness buckets)
+    with pytest.raises(ValueError, match="bucket export is not stats-derivable"):
+        export_iceberg(t, str(tmp_path / "ice2"),
+                       partition_by=["bucket[4](event_id)"])
+
+
+def test_align_bucket_expression(spark, tmp_path):
+    """align by bucket[N](col): the derived key comes from the vectorized
+    Appendix-B Murmur3 fallback; every output file holds exactly one
+    bucket of event_id (checked against the scalar reference hash)."""
+    from moonlink_spark.iceberg.transforms import apply_transform
+
+    t = _events_table(spark, str(tmp_path / "tbl"), n=600)
+    cluster(t, by=["bucket[4](event_id)"], curve="align", run_id="al1")
+    assert t.scan().count() == 600
+    for f in t.data_files():
+        ids = [
+            r["event_id"]
+            for r in spark.read.parquet(f.file_path).select("event_id").collect()
+        ]
+        buckets = {apply_transform("bucket[4]", i, "long") for i in ids}
+        assert len(buckets) == 1, (f.file_path, buckets)
+
+
+def test_export_identity_date_and_truncate(spark, tmp_path):
+    """Identity export on temporal sources stores spec-integer values
+    (micros), and truncate[W] exports gate on transform(min)==transform(max)
+    — a table aligned by truncate[2](name) exports even though raw
+    min!=max inside a file."""
+    import pyspark.sql.types as T
+
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.iceberg.reader import load_iceberg_metadata
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    t = MoonTable.create(spark, str(tmp_path / "tbl"), schema, key_columns=["k"])
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("aa")).otherwise(F.lit("bb")),
+            F.col("id").cast("string"),
+        ).alias("name"),
+    )
+    t.append(df, run_id="a1")
+    with pytest.raises(ValueError, match="cluster the table"):
+        export_iceberg(t, str(tmp_path / "ice0"), partition_by=["truncate[2](name)"])
+    cluster(t, by=["truncate[2](name)"], curve="align", run_id="al1")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, partition_by=["truncate[2](name)"])
+    meta = load_iceberg_metadata(dest)
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "truncate[2]"
+    full = read_iceberg_scan(spark, dest)
+    aa = read_iceberg_scan(spark, dest, partition_filter={"name": "aa999"})
+    assert full.count() == 300
+    assert 0 < len(aa.inputFiles()) < len(full.inputFiles())
+    assert {r["name"][:2] for r in aa.select("name").collect()} == {"aa"}

@@ -42,7 +42,9 @@ def main() -> None:
     ap.add_argument("--table", default=None)
     ap.add_argument("--changes", default=None)
     ap.add_argument("--cluster-by", default=None)
-    ap.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    ap.add_argument("--curve", default="zorder",
+                choices=["zorder", "hilbert", "align"],
+                help="align groups by distinct values of --cluster-by (columns or transform exprs like day(ts)) — the producer op for --export-partition-by")
     ap.add_argument("--mode", default="full",
                     choices=["full", "data", "split", "incremental"])
     ap.add_argument("--expire-retain", type=int, default=None)
@@ -71,6 +73,13 @@ def main() -> None:
                     choices=[2, 3],
                     help="Iceberg format for --export-iceberg: 2 = position-"
                          "delete parquet, 3 = puffin deletion-vector blobs")
+    ap.add_argument("--export-partition-by", default=None, metavar="EXPRS",
+                    help="comma-separated partition entries for "
+                         "--export-iceberg: column names (identity) or "
+                         "monotonic transform exprs (day(ts), year(ts), "
+                         "truncate[4](name)); stats-driven and "
+                         "zero-rewrite — files must already be aligned "
+                         "(--curve align)")
     ap.add_argument("--mirror-expire-keep", type=int, default=None,
                     metavar="K",
                     help="after --export-iceberg, expire mirror versions "
@@ -176,8 +185,12 @@ def main() -> None:
 
         out["iceberg_metadata"] = timed(
             "export_iceberg",
-            lambda: export_iceberg(table, args.export_iceberg,
-                                   format_version=args.export_format_version),
+            lambda: export_iceberg(
+                table, args.export_iceberg,
+                format_version=args.export_format_version,
+                partition_by=(args.export_partition_by.split(",")
+                              if args.export_partition_by else None),
+            ),
         )
         if args.mirror_expire_keep is not None:
             from moonlink_spark.iceberg import expire_iceberg_mirror

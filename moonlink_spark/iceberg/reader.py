@@ -338,7 +338,10 @@ def read_iceberg_scan(
     hour — Appendix-B Murmur3 for buckets) and compared to the stored
     value; note the filter PRUNES files, it does not filter rows — for
     non-identity transforms compose it with a row filter (e.g. bucket
-    pruning keeps the whole matching bucket). Identity partition columns
+    pruning keeps the whole matching bucket). A 2-tuple value is an
+    inclusive (lo, hi) RANGE: order-preserving transforms prune files
+    outside [transform(lo), transform(hi)] (a week over day partitions
+    plans 7 days); bucket fields ignore range filters. Identity partition columns
     physically absent from a data file are constant-filled from the
     manifest value via a broadcast file→value map (the spec's
     identity-partition read rule); temporal/datetime filter values may be
@@ -433,21 +436,48 @@ def read_iceberg_scan(
         # carries a CONFLICTING value under some partition field on the
         # filtered source column — the filter value is run through the
         # field's transform (identity/bucket/truncate/temporal) and compared
-        # to the stored partition value. Files from specs not partitioned on
-        # the column can't be pruned and stay in the scan; transforms on the
-        # same source compose (e.g. day(ts) + bucket(ts) both prune).
+        # to the stored partition value. A 2-tuple/list filter value means
+        # an INCLUSIVE RANGE (lo, hi): order-preserving transforms
+        # (identity/temporal/truncate) prune files whose stored value falls
+        # outside [transform(lo), transform(hi)] — a week's scan over a
+        # day-partitioned 100 TB table plans 7 partitions; bucket fields
+        # can't range-prune (hashing destroys order) and keep the file.
+        # Files from specs not partitioned on the column can't be pruned
+        # and stay in the scan; transforms on the same source compose.
         expected_cache: dict[tuple, object] = {}
+
+        def _expected(src: str, tr: str, ty: str):
+            ck = (src, tr, ty)
+            if ck not in expected_cache:
+                v = partition_filter[src]
+                if isinstance(v, (tuple, list)):
+                    if len(v) != 2:
+                        raise ValueError(
+                            f"range partition_filter for {src!r} must be "
+                            f"(lo, hi), got {v!r}"
+                        )
+                    expected_cache[ck] = (
+                        apply_transform(tr, v[0], ty),
+                        apply_transform(tr, v[1], ty),
+                    )
+                else:
+                    expected_cache[ck] = apply_transform(tr, v, ty)
+            return expected_cache[ck]
 
         def _conflicts(p: str) -> bool:
             for src, tr, ty, stored in file_prune.get(p, []):
                 if stored is None or src not in partition_filter:
                     continue
-                ck = (src, tr, ty)
-                if ck not in expected_cache:
-                    expected_cache[ck] = apply_transform(
-                        tr, partition_filter[src], ty
-                    )
-                if expected_cache[ck] != stored:
+                exp = _expected(src, tr, ty)
+                if isinstance(exp, tuple):
+                    if tr.startswith("bucket["):
+                        continue  # hash transform: order not preserved
+                    lo, hi = exp
+                    if (lo is not None and stored < lo) or (
+                        hi is not None and stored > hi
+                    ):
+                        return True
+                elif exp != stored:
                     return True
             return False
 

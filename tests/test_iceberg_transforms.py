@@ -255,3 +255,46 @@ def test_bucket_and_day_pruning(spark, tmp_path):
     json.dump(meta, open(mpath, "w"))
     with pytest.raises(ValueError, match="unsupported partition transform"):
         read_iceberg_scan(spark, str(root))
+
+
+def test_range_partition_filter(spark, tmp_path):
+    """(lo, hi) filter values range-prune order-preserving transforms: a
+    2-day window over the day-partitioned table plans exactly those days'
+    files; a range on the bucket source keeps everything (hashing destroys
+    order, so bucket fields must not range-prune)."""
+    from moonlink_spark.iceberg import read_iceberg_scan
+
+    root = tmp_path / "ext"
+    n_files = _build_bucket_day_table(root)
+    full = read_iceberg_scan(spark, str(root))
+
+    # both days inside the window → everything; sub-day window → one day
+    win = read_iceberg_scan(
+        spark,
+        str(root),
+        partition_filter={
+            "ts": (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 23, 59))
+        },
+    )
+    assert win.count() == 100
+    assert {r["id"] for r in win.select("id").collect()} == set(range(100))
+    assert len(win.inputFiles()) < n_files
+
+    both = read_iceberg_scan(
+        spark,
+        str(root),
+        partition_filter={"ts": (datetime(2024, 1, 1), datetime(2024, 1, 2, 12))},
+    )
+    assert both.count() == 200
+
+    # range on the bucketed source: no pruning, full row set
+    rng = read_iceberg_scan(
+        spark, str(root), partition_filter={"id": (50, 60)}
+    )
+    assert rng.count() == 200
+    assert len(rng.inputFiles()) == len(full.inputFiles())
+
+    with pytest.raises(ValueError, match="must be \\(lo, hi\\)"):
+        read_iceberg_scan(
+            spark, str(root), partition_filter={"id": (1, 2, 3)}
+        ).count()

@@ -706,6 +706,42 @@ def q_iceberg_partitioned_export_scan(spark: SparkSession, sf_dir: str) -> DataF
         partition_filter={"fmt": "png"})
 
 
+def q_iceberg_bounds_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-bounds file pruning in the external reader (the spec's
+    metadata-only range planning over CLUSTERED layouts — no partition
+    spec needed): range-cluster the images on phash (single-dim z-order =
+    disjoint per-file intervals), export (manifests carry the Appendix-D
+    lower/upper bound bytes), then bounds_filter a fixed phash window —
+    only intersecting files are planned — and compose the exact row
+    filter on top. Oracle: WHERE phash BETWEEN the same constants."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.operators.optimize import optimize
+    from moonlink_spark.sources.fixtures import IMAGES_SCHEMA
+    from moonlink_spark.table import MoonTable
+
+    lo, hi = 0, 1 << 59  # fixed window, matches the oracle SQL
+    imgs = _images_df(spark, sf_dir)
+    t = MoonTable.create(spark, _fresh_root("ice_bounds"), IMAGES_SCHEMA,
+                         key_columns=["image_id"])
+    t.append(imgs, run_id="a1")
+    total = sum(f.file_size_bytes for f in t.data_files())
+    optimize(t, mode="full", cluster_by=["phash"],
+             target_bytes=max(1, total // 8), run_id="z1")
+    dest = _fresh_root("ice_bounds_out")
+    export_iceberg(t, dest)
+    scan = read_iceberg_scan(spark, dest, columns=_NO_BYTES.split(", "),
+                             bounds_filter={"phash": (lo, hi)})
+    n_all = len(read_iceberg_scan(spark, dest,
+                                  columns=["image_id"]).inputFiles())
+    if not 0 < len(scan.inputFiles()) < n_all:
+        raise AssertionError(
+            f"bounds pruning regressed: {len(scan.inputFiles())}/{n_all} "
+            f"files planned")
+    return scan.filter((F.col("phash") >= lo) & (F.col("phash") <= hi))
+
+
 def q_iceberg_day_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External day(ts)-partitioned Iceberg table (the spec's temporal
     transform — what Spark/Flink writers produce for event streams): the
@@ -2193,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round / newly oracled: must be in the 50-row window
         "iceberg_partition_prune_scan": q_iceberg_partition_prune_scan,
         "iceberg_partitioned_export_scan": q_iceberg_partitioned_export_scan,
+        "iceberg_bounds_prune_scan": q_iceberg_bounds_prune_scan,
         "iceberg_day_prune_scan": q_iceberg_day_prune_scan,
         "iceberg_bucket_prune_scan": q_iceberg_bucket_prune_scan,
         "iceberg_eq_delete_scan": q_iceberg_eq_delete_scan,
@@ -2244,7 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_lsh_ann": q_embed_lsh_ann,
-        # r5 window boundary: the five new external-read queries above
+        # r5 window boundary: the six new external-read queries above
         # (partitioned export, day/bucket transform pruning, eq-deletes,
         # identity pruning) pushed the rows below — all green in r4 and
         # byte-unchanged since — past entry 50 into the locally-replicated
@@ -2303,6 +2340,11 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_partitioned_export_scan": (
             f"WITH images AS ({_images_select(d)}) "
             f"SELECT {_NO_BYTES} FROM images WHERE fmt = 'png'"
+        ),
+        "iceberg_bounds_prune_scan": (
+            f"WITH images AS ({_images_select(d)}) "
+            f"SELECT {_NO_BYTES} FROM images "
+            f"WHERE phash BETWEEN 0 AND {1 << 59}"
         ),
         "iceberg_day_prune_scan": (
             "SELECT event_id, ts, user_id, event_type, value FROM events "

@@ -88,6 +88,38 @@ def _jvm_partition_values(data_file) -> dict:
     return out
 
 
+def _jvm_bound_map(data_file, name: str) -> dict[int, bytes] | None:
+    """Decode a lower_bounds/upper_bounds k/v array off a JVM GenericRecord
+    into {field-id: raw bound bytes} (Avro bytes values arrive as
+    array-backed ByteBuffers; slice by position/remaining)."""
+    arr = data_file.get(name)
+    if arr is None:
+        return None
+    out: dict[int, bytes] = {}
+    for e in arr:
+        v = e.get("value")
+        if v is None:
+            continue
+        if isinstance(v, (bytes, bytearray)):
+            raw = bytes(v)
+        else:
+            backing = bytes(v.array())
+            off = v.arrayOffset() + v.position()
+            raw = backing[off : off + v.remaining()]
+        out[int(e.get("key"))] = raw
+    return out
+
+
+def _py_bound_map(vals) -> dict[int, bytes] | None:
+    if vals is None:
+        return None
+    return {
+        int(e["key"]): bytes(e["value"])
+        for e in vals
+        if e.get("value") is not None
+    }
+
+
 def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
     def _opt(v, conv):
         return None if v is None else conv(v)
@@ -115,6 +147,8 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
                     "content_size_in_bytes": _opt(
                         df.get("content_size_in_bytes"), int
                     ),
+                    "lower_bounds": _jvm_bound_map(df, "lower_bounds"),
+                    "upper_bounds": _jvm_bound_map(df, "upper_bounds"),
                 }
             )
         return out
@@ -136,6 +170,8 @@ def _manifest_entries(spark: SparkSession, path: str) -> list[dict]:
                 "referenced_data_file": r["data_file"].get("referenced_data_file"),
                 "content_offset": r["data_file"].get("content_offset"),
                 "content_size_in_bytes": r["data_file"].get("content_size_in_bytes"),
+                "lower_bounds": _py_bound_map(r["data_file"].get("lower_bounds")),
+                "upper_bounds": _py_bound_map(r["data_file"].get("upper_bounds")),
             }
             for r in recs
         ]
@@ -323,6 +359,7 @@ def read_iceberg_scan(
     as_of_ms: int | None = None,
     with_row_ids: bool = False,
     partition_filter: dict | None = None,
+    bounds_filter: dict | None = None,
 ) -> DataFrame:
     """Scan an Iceberg table directory through the spec protocol alone;
     returns the live rows (position AND equality deletes applied). Time
@@ -341,7 +378,15 @@ def read_iceberg_scan(
     pruning keeps the whole matching bucket). A 2-tuple value is an
     inclusive (lo, hi) RANGE: order-preserving transforms prune files
     outside [transform(lo), transform(hi)] (a week over day partitions
-    plans 7 days); bucket fields ignore range filters. Identity partition columns
+    plans 7 days); bucket fields ignore range filters.
+
+    *bounds_filter* — ``{column: value | (lo, hi)}`` — prunes on the
+    manifest's per-file column bounds (Appendix-D lower/upper_bounds):
+    a file survives only if its [min, max] interval intersects the
+    filter. This is the spec's metadata-only range planning over
+    CLUSTERED layouts (no partition spec needed); files lacking bounds
+    for the column are kept. Like partition_filter it prunes files, not
+    rows — compose a row filter on top for exact results. Identity partition columns
     physically absent from a data file are constant-filled from the
     manifest value via a broadcast file→value map (the spec's
     identity-partition read rule); temporal/datetime filter values may be
@@ -376,6 +421,8 @@ def read_iceberg_scan(
     file_parts: dict[str, dict] = {}  # path → {source_col: partition value}
     # path → [(source_col, transform, source_type, stored partition value)]
     file_prune: dict[str, list[tuple]] = {}
+    # path → (lower_bounds, upper_bounds) as {field-id: Appendix-D bytes}
+    file_bounds: dict[str, tuple] = {}
     file_seqs: dict[str, int] = {}  # path → data sequence number
     delete_paths: list[str] = []
     puffin_entries: list[dict] = []
@@ -398,6 +445,10 @@ def read_iceberg_scan(
                 data_paths.append(e["file_path"])
                 first_ids[e["file_path"]] = e.get("first_row_id")
                 file_seqs[e["file_path"]] = seq
+                file_bounds[e["file_path"]] = (
+                    e.get("lower_bounds"),
+                    e.get("upper_bounds"),
+                )
                 part = e.get("partition") or {}
                 file_parts[e["file_path"]] = {
                     src_by_pfield[name]: v
@@ -421,6 +472,29 @@ def read_iceberg_scan(
 
     if not data_paths:
         raise ValueError(f"no live data files in snapshot {sid} of {table_root}")
+
+    def _empty_result() -> DataFrame:
+        # every file pruned: empty result with the snapshot-schema columns,
+        # no scan at all
+        import pyspark.sql.types as T
+
+        from moonlink_spark.iceberg.spec import spark_type
+
+        snap_schema0 = resolve_schema(meta, snap)
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        f["name"], spark_type(f["type"]), not f.get("required")
+                    )
+                    for f in snap_schema0["fields"]
+                ]
+            ),
+        )
+        return empty.select(
+            *(columns or [f["name"] for f in snap_schema0["fields"]])
+        )
 
     if partition_filter:
         from moonlink_spark.iceberg.transforms import apply_transform
@@ -483,26 +557,62 @@ def read_iceberg_scan(
 
         data_paths = [p for p in data_paths if not _conflicts(p)]
         if not data_paths:
-            # empty result with the snapshot-schema columns, no scan at all
-            snap_schema0 = resolve_schema(meta, snap)
-            import pyspark.sql.types as T
+            return _empty_result()
 
-            from moonlink_spark.iceberg.spec import spark_type
+    if bounds_filter:
+        # per-file column min/max pruning off the manifest's Appendix-D
+        # lower/upper bounds — the spec's metadata-only range planning: a
+        # range scan over a clustered 100 TB table plans only the files
+        # whose bound interval intersects the filter. {col: value} is an
+        # exact match, {col: (lo, hi)} an inclusive range; files without
+        # bounds for the column are kept (no stats → no pruning).
+        from moonlink_spark.iceberg.spec import decode_bound
+        from moonlink_spark.iceberg.transforms import apply_transform
 
-            empty = spark.createDataFrame(
-                [],
-                T.StructType(
-                    [
-                        T.StructField(
-                            f["name"], spark_type(f["type"]), not f.get("required")
-                        )
-                        for f in snap_schema0["fields"]
-                    ]
-                ),
+        snap_schema_b = resolve_schema(meta, snap)
+        fid_by_name = {
+            f["name"]: (int(f["id"]), f["type"])
+            for f in snap_schema_b["fields"]
+            if isinstance(f["type"], str)
+        }
+        unknown = sorted(set(bounds_filter) - set(fid_by_name))
+        if unknown:
+            raise ValueError(
+                f"bounds_filter references unknown/non-primitive column(s) "
+                f"{unknown}"
             )
-            return empty.select(
-                *(columns or [f["name"] for f in snap_schema0["fields"]])
-            )
+        norm: dict[str, tuple] = {}
+        for c, v in bounds_filter.items():
+            fid, ty = fid_by_name[c]
+            if isinstance(v, (tuple, list)):
+                if len(v) != 2:
+                    raise ValueError(
+                        f"range bounds_filter for {c!r} must be (lo, hi), "
+                        f"got {v!r}"
+                    )
+                lo, hi = v
+            else:
+                lo = hi = v
+            # temporal filter values normalize to the spec's integer forms
+            lo = apply_transform("identity", lo, ty)
+            hi = apply_transform("identity", hi, ty)
+            norm[c] = (fid, ty, lo, hi)
+
+        def _bounds_conflict(p: str) -> bool:
+            lbs, ubs = file_bounds.get(p, (None, None))
+            for fid, ty, lo, hi in norm.values():
+                f_lo = decode_bound(ty, lbs.get(fid)) if lbs else None
+                f_hi = decode_bound(ty, ubs.get(fid)) if ubs else None
+                if lo is not None and f_hi is not None and f_hi < lo:
+                    return True
+                if hi is not None and f_lo is not None and f_lo > hi:
+                    return True
+            return False
+
+        data_paths = [p for p in data_paths if not _bounds_conflict(p)]
+        if not data_paths:
+            return _empty_result()
+
     snap_schema = resolve_schema(meta, snap)
     schema_fields = [f["name"] for f in snap_schema["fields"]]
     cols = columns or schema_fields

@@ -339,7 +339,9 @@ def _nested_mapping(dt: T.DataType, field_ids: dict[str, int], path: str) -> lis
 # ------------------------------------------- single-value serialization
 def bound_bytes(dt: T.DataType, v) -> bytes | None:
     """Iceberg single-value binary serialization (spec Appendix D) for the
-    types our stats carry; None for types we don't serialize bounds for."""
+    types our stats carry; None for types we don't serialize bounds for.
+    Temporal stats arrive as the catalog's ISO strings and serialize to
+    the spec's integer forms (days / micros, little-endian)."""
     if v is None:
         return None
     if isinstance(dt, T.StringType):
@@ -354,4 +356,38 @@ def bound_bytes(dt: T.DataType, v) -> bytes | None:
         return struct.pack("<f", float(v))
     if isinstance(dt, T.BooleanType):
         return b"\x01" if v else b"\x00"
+    if isinstance(dt, T.DateType):
+        from moonlink_spark.iceberg.transforms import _to_days
+
+        return struct.pack("<i", _to_days(v))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        from moonlink_spark.iceberg.transforms import _to_micros
+
+        return struct.pack("<q", _to_micros(v))
     return None
+
+
+def decode_bound(itype: str, b: bytes):
+    """Inverse of the Appendix-D single-value serialization, keyed by the
+    Iceberg schema-JSON type (temporal types stay in their integer forms —
+    days / micros — matching apply_transform's identity normalization)."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if itype == "string":
+        return b.decode("utf-8")
+    if itype == "long":
+        return struct.unpack("<q", b)[0]
+    if itype == "int":
+        return struct.unpack("<i", b)[0]
+    if itype == "double":
+        return struct.unpack("<d", b)[0]
+    if itype == "float":
+        return struct.unpack("<f", b)[0]
+    if itype == "boolean":
+        return b != b"\x00"
+    if itype == "date":
+        return struct.unpack("<i", b)[0]
+    if itype.startswith("timestamp"):
+        return struct.unpack("<q", b)[0]
+    return None  # types we don't prune on (binary, decimal, nested)

@@ -298,3 +298,86 @@ def test_range_partition_filter(spark, tmp_path):
         read_iceberg_scan(
             spark, str(root), partition_filter={"id": (1, 2, 3)}
         ).count()
+
+
+def test_bounds_filter_pruning(spark, tmp_path):
+    """Column-bounds pruning off manifest lower/upper_bounds: a clustered
+    export carries per-file Appendix-D bound bytes, and a bounds_filter
+    range plans only intersecting files — the external-reader equivalent
+    of the native clustered_range_scan. Exact results come from composing
+    a row filter over the pruned scan."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg import export_iceberg, read_iceberg_scan
+    from moonlink_spark.operators.optimize import optimize
+    from moonlink_spark.sources.fixtures import create_images_table
+
+    t = create_images_table(spark, str(tmp_path / "tbl"), 2000, seed=42)
+    # single-dimension z-order == range clustering on phash: per-file
+    # phash intervals are disjoint, so a bounds window MUST prune
+    total = sum(f.file_size_bytes for f in t.data_files())
+    optimize(t, mode="full", cluster_by=["phash"],
+             target_bytes=max(1, total // 6), run_id="z1")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    full = read_iceberg_scan(spark, dest)
+    n_files = len(full.inputFiles())
+    assert n_files >= 4
+
+    los = [f.stats["phash"]["min"] for f in t.data_files()]
+    his = [f.stats["phash"]["max"] for f in t.data_files()]
+    lo, hi = sorted(los)[0], sorted(his)[1]  # a window covering ~2 files
+
+    rng = read_iceberg_scan(spark, dest, bounds_filter={"phash": (lo, hi)})
+    kept = len(rng.inputFiles())
+    assert 0 < kept < n_files
+    expect = t.scan().filter(
+        (F.col("phash") >= lo) & (F.col("phash") <= hi)
+    ).count()
+    got = rng.filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
+    assert got == expect > 0
+
+    # exact-value form + empty result shortcut
+    nothing = read_iceberg_scan(
+        spark, dest, bounds_filter={"phash": (max(his) + 1, max(his) + 2)}
+    )
+    assert nothing.count() == 0
+
+    # unknown column rejected
+    with pytest.raises(ValueError, match="unknown"):
+        read_iceberg_scan(spark, dest, bounds_filter={"nope": 1})
+
+    # string bounds work too (fmt is a low-cardinality string)
+    jp = read_iceberg_scan(spark, dest, bounds_filter={"fmt": "jpeg"})
+    assert jp.filter("fmt = 'jpeg'").count() == t.scan().filter(
+        "fmt = 'jpeg'"
+    ).count()
+
+
+def test_decode_bound_roundtrip():
+    import datetime as _dt
+
+    import pyspark.sql.types as T
+
+    from moonlink_spark.iceberg.spec import bound_bytes, decode_bound
+
+    cases = [
+        (T.StringType(), "string", "héllo"),
+        (T.LongType(), "long", -123456789012),
+        (T.IntegerType(), "int", -42),
+        (T.DoubleType(), "double", 3.5),
+        (T.FloatType(), "float", 2.0),
+        (T.BooleanType(), "boolean", True),
+        (T.DateType(), "date", "2024-01-15"),
+        (T.TimestampType(), "timestamptz", "2024-01-15T12:34:56.789012"),
+    ]
+    for dt, itype, v in cases:
+        b = bound_bytes(dt, v)
+        out = decode_bound(itype, b)
+        if itype == "date":
+            assert out == (_dt.date(2024, 1, 15) - _dt.date(1970, 1, 1)).days
+        elif itype == "timestamptz":
+            assert out == 1705322096789012
+        else:
+            assert out == v, (itype, out, v)

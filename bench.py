@@ -124,6 +124,15 @@ def main() -> None:
         expire_snapshots(table, retain_last=1), sweep_orphans(table, quarantine=False, older_than_seconds=0)))
     rows_final = table.scan().count()
 
+    # Iceberg mirror sync of the maintained snapshot (the reference's
+    # per-commit iceberg sync): METADATA-ONLY — data files are referenced
+    # in place, so this cost is O(files), not O(bytes), at any scale
+    from moonlink_spark.iceberg import export_iceberg
+
+    mirror_dir = os.path.join("/tmp", "moonlink_bench_mirror")
+    shutil.rmtree(mirror_dir, ignore_errors=True)
+    timed("iceberg_export", lambda: export_iceberg(table, mirror_dir))
+
     # headline throughput: full maintenance of the table (every live byte
     # read, deletes applied, every byte rewritten clustered) per second of
     # the FUSED pass. Round 1 reported 2*live/(compact+cluster) — the same

@@ -57,7 +57,12 @@ def _file_stats(paths: Iterator[str]) -> Iterator[tuple[str, str]]:
                     "record_count": md.num_rows,
                     "file_size_bytes": os.path.getsize(path),
                     "stats": stats,
-                }
+                },
+                # temporal footer min/max arrive as datetime objects; store
+                # isoformat, matching the write path (plans/physical._norm)
+                default=lambda v: (
+                    v.isoformat() if hasattr(v, "isoformat") else str(v)
+                ),
             ),
         )
 

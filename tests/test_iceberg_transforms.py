@@ -381,3 +381,20 @@ def test_decode_bound_roundtrip():
             assert out == 1705322096789012
         else:
             assert out == v, (itype, out, v)
+
+
+def test_import_adopts_transform_partitioned_table(spark, tmp_path):
+    """import_iceberg adopts a bucket+day-partitioned external table: the
+    derived-transform sources are always materialized in the data files
+    (unlike identity), so adoption is metadata-only and the MoonTable scan
+    equals the spec scan."""
+    from moonlink_spark.iceberg import import_iceberg, read_iceberg_scan
+
+    root = tmp_path / "ext"
+    _build_bucket_day_table(root)
+    t = import_iceberg(spark, str(root), str(tmp_path / "adopted"))
+    assert t.scan().count() == 200
+    spec_ids = {r["id"] for r in read_iceberg_scan(
+        spark, str(root), columns=["id"]).collect()}
+    native_ids = {r["id"] for r in t.scan(columns=["id"]).collect()}
+    assert native_ids == spec_ids and len(native_ids) == 200

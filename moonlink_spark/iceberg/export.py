@@ -43,6 +43,7 @@ from moonlink_spark.iceberg.spec import (
     POS_DELETE_FILE_PATH_ID,
     POS_DELETE_POS_ID,
     bound_bytes,
+    field_summaries,
     iceberg_schema_fields,
     iceberg_type,
     manifest_entry_schema,
@@ -411,7 +412,15 @@ def _write_manifests(
                 "added_rows_count": sum(e["data_file"]["record_count"] for e in chunk),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": None,
+                # field_summary per spec field (null-free chunks carry
+                # Appendix-D bounds): lets readers skip this manifest FILE
+                # from the manifest list alone — at 10^6 files that is most
+                # of the metadata I/O for a selective partition_filter
+                "partitions": (
+                    field_summaries(chunk, partition_fields)
+                    if content == "data"
+                    else None
+                ),
             }
         )
     return out

@@ -50,6 +50,7 @@ def write_external_iceberg(
     spec_fields: list[dict],
     partitions: list[tuple[dict, "object"]],
     snapshot_id: int = 1,
+    entries_per_manifest: int | None = None,
 ) -> str:
     """Write `root` as an Iceberg v2 table: *schema_fields* are Iceberg
     schema-JSON fields (with ids), *spec_fields* the partition-spec fields
@@ -98,25 +99,27 @@ def write_external_iceberg(
             }
         )
 
-    mp = os.path.join(mdir, "manifest-data.avro")
-    size = write_avro_file(
-        mp,
-        manifest_entry_schema(part_avro),
-        entries,
-        metadata={
-            "schema": schema_json.encode(),
-            "schema-id": b"0",
-            "partition-spec": json.dumps(spec_fields).encode(),
-            "partition-spec-id": b"0",
-            "format-version": b"2",
-            "content": b"data",
-        },
-    )
-    ml = os.path.join(mdir, f"snap-{snapshot_id}-1-ext.avro")
-    write_avro_file(
-        ml,
-        MANIFEST_FILE_SCHEMA,
-        [
+    from moonlink_spark.iceberg.spec import field_summaries
+
+    step = entries_per_manifest or max(1, len(entries))
+    manifest_descs = []
+    for mi in range(0, max(1, len(entries)), step):
+        chunk = entries[mi : mi + step]
+        mp = os.path.join(mdir, f"manifest-data-{mi // step:03d}.avro")
+        size = write_avro_file(
+            mp,
+            manifest_entry_schema(part_avro),
+            chunk,
+            metadata={
+                "schema": schema_json.encode(),
+                "schema-id": b"0",
+                "partition-spec": json.dumps(spec_fields).encode(),
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        manifest_descs.append(
             {
                 "manifest_path": mp,
                 "manifest_length": size,
@@ -125,15 +128,24 @@ def write_external_iceberg(
                 "sequence_number": 1,
                 "min_sequence_number": 1,
                 "added_snapshot_id": snapshot_id,
-                "added_data_files_count": len(entries),
+                "added_data_files_count": len(chunk),
                 "existing_data_files_count": 0,
                 "deleted_data_files_count": 0,
-                "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in chunk
+                ),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": None,
+                # per-manifest field summaries: what lets readers skip the
+                # whole manifest file from the manifest list alone
+                "partitions": field_summaries(chunk, part_avro),
             }
-        ],
+        )
+    ml = os.path.join(mdir, f"snap-{snapshot_id}-1-ext.avro")
+    write_avro_file(
+        ml,
+        MANIFEST_FILE_SCHEMA,
+        manifest_descs,
         metadata={
             "format-version": b"2",
             "snapshot-id": str(snapshot_id).encode(),

@@ -45,6 +45,32 @@ def read_avro_via_jvm(spark: SparkSession, path: str) -> list:
     return out
 
 
+def _jvm_bytes(v) -> bytes | None:
+    """Avro bytes value off a JVM GenericRecord (array-backed ByteBuffer
+    or already-converted bytes) → Python bytes."""
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    backing = bytes(v.array())
+    off = v.arrayOffset() + v.position()
+    return backing[off : off + v.remaining()]
+
+
+def _jvm_summaries(rec) -> list[dict] | None:
+    arr = rec.get("partitions")
+    if arr is None:
+        return None
+    return [
+        {
+            "contains_null": bool(s.get("contains_null")),
+            "lower_bound": _jvm_bytes(s.get("lower_bound")),
+            "upper_bound": _jvm_bytes(s.get("upper_bound")),
+        }
+        for s in arr
+    ]
+
+
 def _manifest_list_entries(spark: SparkSession, path: str) -> list[dict]:
     try:
         return [
@@ -53,6 +79,7 @@ def _manifest_list_entries(spark: SparkSession, path: str) -> list[dict]:
                 "content": int(r.get("content")),
                 "sequence_number": int(r.get("sequence_number")),
                 "partition_spec_id": int(r.get("partition_spec_id")),
+                "partitions": _jvm_summaries(r),
             }
             for r in read_avro_via_jvm(spark, path)
         ]
@@ -66,6 +93,20 @@ def _manifest_list_entries(spark: SparkSession, path: str) -> list[dict]:
                 "content": r["content"],
                 "sequence_number": r.get("sequence_number", 0),
                 "partition_spec_id": r.get("partition_spec_id", 0),
+                "partitions": [
+                    {
+                        "contains_null": bool(s.get("contains_null")),
+                        "lower_bound": None
+                        if s.get("lower_bound") is None
+                        else bytes(s["lower_bound"]),
+                        "upper_bound": None
+                        if s.get("upper_bound") is None
+                        else bytes(s["upper_bound"]),
+                    }
+                    for s in r["partitions"]
+                ]
+                if r.get("partitions") is not None
+                else None,
             }
             for r in recs
         ]
@@ -270,7 +311,7 @@ def partition_pruner_fields(meta: dict) -> dict[int, list[dict]]:
     out: dict[int, list[dict]] = {}
     for spec in meta.get("partition-specs", []):
         fields = []
-        for f in spec.get("fields", []):
+        for pos, f in enumerate(spec.get("fields", [])):
             tr = f.get("transform", "")
             if tr == "void":
                 continue
@@ -287,6 +328,9 @@ def partition_pruner_fields(meta: dict) -> dict[int, list[dict]]:
                     "transform": tr,
                     "source": id_to_name[src_id],
                     "type": ty if isinstance(ty, str) else "struct",
+                    # position within the spec's full fields list — the
+                    # index of this field's manifest-list field_summary
+                    "pos": pos,
                 }
             )
         out[int(spec["spec-id"])] = fields
@@ -428,9 +472,68 @@ def read_iceberg_scan(
     puffin_entries: list[dict] = []
     eq_entries: list[dict] = []
     n_delete_rows = 0
+    def _summary_skippable(m: dict, fields: list[dict]) -> bool:
+        """True when the manifest-list field_summary proves NO entry in
+        this data manifest can match partition_filter — the manifest Avro
+        is then never opened (O(manifests), not O(files), planning for
+        selective filters). Conservative: null-containing summaries,
+        missing bounds, bucket range filters, and malformed filter values
+        (validated later) all keep the manifest."""
+        from moonlink_spark.iceberg.spec import decode_bound
+        from moonlink_spark.iceberg.transforms import (
+            apply_transform,
+            partition_value_avro_type,
+        )
+
+        sums = m.get("partitions")
+        if not sums:
+            return False
+        for pf in fields:
+            src = pf["source"]
+            if src not in partition_filter or pf["pos"] >= len(sums):
+                continue
+            s = sums[pf["pos"]]
+            if s.get("contains_null"):
+                continue
+            try:
+                ptype = partition_value_avro_type(pf["transform"], pf["type"])
+            except ValueError:
+                continue
+            lob = decode_bound(ptype, s.get("lower_bound"))
+            upb = decode_bound(ptype, s.get("upper_bound"))
+            if lob is None and upb is None:
+                continue
+            v = partition_filter[src]
+            if isinstance(v, (tuple, list)):
+                if pf["transform"].startswith("bucket[") or len(v) != 2:
+                    continue
+                lo = apply_transform(pf["transform"], v[0], pf["type"])
+                hi = apply_transform(pf["transform"], v[1], pf["type"])
+                if (upb is not None and lo is not None and upb < lo) or (
+                    lob is not None and hi is not None and lob > hi
+                ):
+                    return True
+            else:
+                ev = apply_transform(pf["transform"], v, pf["type"])
+                if ev is None:
+                    continue
+                if (lob is not None and ev < lob) or (
+                    upb is not None and ev > upb
+                ):
+                    return True
+        return False
+
+    n_skipped_manifests = 0
     for m in _manifest_list_entries(spark, snap["manifest-list"]):
         src_by_pfield = spec_sources.get(m.get("partition_spec_id", 0), {})
         pruner_fields = spec_pruners.get(m.get("partition_spec_id", 0), [])
+        if (
+            partition_filter
+            and m["content"] == 0
+            and _summary_skippable(m, pruner_fields)
+        ):
+            n_skipped_manifests += 1
+            continue
         for e in _manifest_entries(spark, m["manifest_path"]):
             if e["status"] == 2:  # DELETED entry: file no longer live
                 continue
@@ -470,9 +573,6 @@ def read_iceberg_scan(
                 delete_paths.append(e["file_path"])
                 n_delete_rows += e["record_count"]
 
-    if not data_paths:
-        raise ValueError(f"no live data files in snapshot {sid} of {table_root}")
-
     def _empty_result() -> DataFrame:
         # every file pruned: empty result with the snapshot-schema columns,
         # no scan at all
@@ -495,6 +595,12 @@ def read_iceberg_scan(
         return empty.select(
             *(columns or [f["name"] for f in snap_schema0["fields"]])
         )
+
+    if not data_paths:
+        if n_skipped_manifests:
+            # every data manifest was summary-skipped: a valid empty scan
+            return _empty_result()
+        raise ValueError(f"no live data files in snapshot {sid} of {table_root}")
 
     if partition_filter:
         from moonlink_spark.iceberg.transforms import apply_transform

@@ -391,3 +391,52 @@ def decode_bound(itype: str, b: bytes):
     if itype.startswith("timestamp"):
         return struct.unpack("<q", b)[0]
     return None  # types we don't prune on (binary, decimal, nested)
+
+
+def partition_value_bytes(avro_type: str, v) -> bytes | None:
+    """Appendix-D serialization of a PARTITION value, keyed by its Avro
+    manifest type (the field_summary lower/upper_bound encoding)."""
+    if v is None:
+        return None
+    if avro_type == "string":
+        return str(v).encode("utf-8")
+    if avro_type == "long":
+        return struct.pack("<q", int(v))
+    if avro_type == "int":
+        return struct.pack("<i", int(v))
+    if avro_type == "double":
+        return struct.pack("<d", float(v))
+    if avro_type == "float":
+        return struct.pack("<f", float(v))
+    if avro_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"unsupported partition value type {avro_type!r}")
+
+
+def field_summaries(entries: list[dict], part_avro_fields: list[dict]) -> list[dict] | None:
+    """Manifest-list field_summary records (spec field 507) for one
+    manifest's entries: per spec field, contains_null + Appendix-D
+    lower/upper bounds over the entries' partition values — what lets a
+    reader skip the whole manifest FILE before opening it."""
+    if not part_avro_fields:
+        return None
+    out = []
+    for pf in part_avro_fields:
+        vals = [
+            (e.get("data_file") or {}).get("partition", {}).get(pf["name"])
+            for e in entries
+        ]
+        nonnull = [v for v in vals if v is not None]
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": partition_value_bytes(pf["type"], min(nonnull))
+                if nonnull
+                else None,
+                "upper_bound": partition_value_bytes(pf["type"], max(nonnull))
+                if nonnull
+                else None,
+            }
+        )
+    return out

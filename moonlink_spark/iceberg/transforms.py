@@ -309,3 +309,30 @@ def murmur3_x86_32_long(vals: "object") -> "object":
     h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
     h ^= h >> np.uint32(16)
     return h.astype(np.int64) - (h >= np.uint32(1 << 31)).astype(np.int64) * (1 << 32)
+
+
+def partition_value_avro_type(transform: str, source_type: str) -> str:
+    """Avro manifest type of a partition VALUE under *transform* — shared
+    by the export writer, the external-table writer, and the reader's
+    manifest-summary decode so all three agree byte-for-byte."""
+    if transform.startswith("bucket[") or transform in ("year", "month", "day", "hour"):
+        return "int"
+    # identity / truncate carry the source's representation; temporal
+    # identities use the spec's integer forms
+    prim = {
+        "string": "string",
+        "int": "int",
+        "long": "long",
+        "double": "double",
+        "float": "float",
+        "boolean": "boolean",
+        "date": "int",
+        "timestamp": "long",
+        "timestamptz": "long",
+    }
+    if source_type in prim:
+        return prim[source_type]
+    raise ValueError(
+        f"cannot derive manifest Avro type for transform {transform!r} "
+        f"over source type {source_type!r}"
+    )

@@ -398,3 +398,109 @@ def test_import_adopts_transform_partitioned_table(spark, tmp_path):
         spark, str(root), columns=["id"]).collect()}
     native_ids = {r["id"] for r in t.scan(columns=["id"]).collect()}
     assert native_ids == spec_ids and len(native_ids) == 200
+
+
+def test_manifest_summary_skipping(spark, tmp_path, monkeypatch):
+    """Manifest-LIST level pruning: per-manifest field_summary bounds let
+    the reader skip whole manifest files before opening them — a
+    day-filtered scan over day-grouped manifests must never read the
+    other day's manifest Avro (O(manifests) planning, not O(files))."""
+    import pyarrow as pa
+
+    import moonlink_spark.iceberg.reader as rd
+    from moonlink_spark.iceberg import read_iceberg_scan
+    from moonlink_spark.iceberg.external import write_external_iceberg
+
+    schema_fields = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "ts", "required": False, "type": "timestamp"},
+    ]
+    spec_fields = [
+        {"name": "ts_day", "transform": "day", "source-id": 2, "field-id": 1000}
+    ]
+    days = [datetime(2024, 1, 1, 8), datetime(2024, 1, 2, 9)]
+    parts = []
+    for di, d in enumerate(days):
+        for b in range(3):  # 3 files per day
+            ids = [di * 100 + b * 10 + k for k in range(10)]
+            parts.append(
+                (
+                    {"ts_day": apply_transform("day", d, "timestamp")},
+                    pa.table(
+                        {
+                            "id": pa.array(ids, pa.int64()),
+                            "ts": pa.array([d] * 10, pa.timestamp("us")),
+                        }
+                    ),
+                )
+            )
+    root = str(tmp_path / "ext")
+    # 3 entries per manifest == one manifest per day
+    write_external_iceberg(root, schema_fields, spec_fields, parts,
+                           entries_per_manifest=3)
+
+    opened: list[str] = []
+    real = rd._manifest_entries
+
+    def spy(spark_, path):
+        opened.append(path)
+        return real(spark_, path)
+
+    monkeypatch.setattr(rd, "_manifest_entries", spy)
+
+    jan2 = read_iceberg_scan(
+        spark, root, partition_filter={"ts": datetime(2024, 1, 2, 12)}
+    )
+    assert len(opened) == 1  # day-1's manifest never opened
+    assert jan2.count() == 30
+    assert {r["id"] for r in jan2.select("id").collect()} == {
+        100 + b * 10 + k for b in range(3) for k in range(10)
+    }
+
+    # filter outside every summary: ALL manifests skipped, clean empty scan
+    opened.clear()
+    none = read_iceberg_scan(
+        spark, root, partition_filter={"ts": datetime(2030, 1, 1)}
+    )
+    assert opened == [] and none.count() == 0
+
+    # range filter covering both days: nothing skipped, all rows
+    opened.clear()
+    both = read_iceberg_scan(
+        spark, root,
+        partition_filter={"ts": (datetime(2024, 1, 1), datetime(2024, 1, 2, 23))},
+    )
+    assert len(opened) == 2 and both.count() == 60
+
+
+def test_export_writes_manifest_summaries(spark, tmp_path):
+    """Engine exports carry field_summary bounds in the manifest list, so
+    EXTERNAL readers get manifest skipping over our mirrors too."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.iceberg import export_iceberg
+    from moonlink_spark.iceberg.reader import (
+        _manifest_list_entries,
+        load_iceberg_metadata,
+    )
+    from moonlink_spark.operators.optimize import optimize
+    from moonlink_spark.sources.fixtures import IMAGES_SCHEMA, generate_images_df
+    from moonlink_spark.table import MoonTable
+
+    t = MoonTable.create(spark, str(tmp_path / "tbl"), IMAGES_SCHEMA,
+                         key_columns=["image_id"])
+    t.append(generate_images_df(spark, 400, seed=42), run_id="a1")
+    optimize(t, mode="full", cluster_by=["fmt"], curve="align", run_id="al")
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, partition_by=["fmt"])
+
+    meta = load_iceberg_metadata(dest)
+    snap = meta["snapshots"][-1]
+    data_ms = [
+        m for m in _manifest_list_entries(spark, snap["manifest-list"])
+        if m["content"] == 0
+    ]
+    assert data_ms and all(m.get("partitions") for m in data_ms)
+    s = data_ms[0]["partitions"][0]
+    assert s["lower_bound"] is not None and not s["contains_null"]
+    assert s["lower_bound"].decode() in ("jpeg", "png")

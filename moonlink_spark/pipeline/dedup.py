@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from moonlink_spark.functions.hashing import MERSENNE_31, hex_int, perm_coeff
+from moonlink_spark.pipeline.util import fan_out
 
 SIMHASH_BITS = 60  # shared hash yields 60 bits (15 hex chars)
 
@@ -44,7 +45,10 @@ def word_shingles(
     df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct word k-shingles per doc: (id, shingle). Map-side explode —
-    no shuffle until the consumer aggregates."""
+    no shuffle until the consumer aggregates: per-doc distinctness is
+    ``array_distinct`` in the array domain BEFORE the explode (ids are
+    unique per input row), where the old row-level ``.distinct()`` paid a
+    full shuffle of every (id, shingle) string for the same result."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     shingles = F.when(
         F.size(words) >= k,
@@ -53,9 +57,9 @@ def word_shingles(
             lambda i: F.array_join(F.slice(words, i + 1, k), " "),
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
+    return fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
     )
 
 
@@ -479,20 +483,24 @@ def simhash(
 
     bit b of the fingerprint = sign of Σ_tokens tf·(2·bit_b(hash(token))−1).
     One explode + one groupBy(id): the per-bit sums are 60 independent
-    conditional aggregates, all map-side combined — a single shuffle."""
+    conditional aggregates, all map-side combined — a single shuffle. The
+    tf weighting is implicit: summing ±1 over token OCCURRENCES equals
+    summing ±tf over distinct tokens, so no (id, token) pre-aggregation
+    shuffle is needed; the token hash is projected once below the explode
+    so the 60 aggregates share it."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
-    tf = tok.groupBy("id", "token").agg(F.count("*").cast("long").alias("tf"))
-    h = hex_int(F.col("token"))
+    tok = fan_out(df).select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+    hashed = tok.select("id", hex_int(F.col("token")).alias("_h"))
     contribs = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long"))
         ).alias(f"s{b}")
         for b in range(bits)
     ]
-    per_bit = tf.groupBy("id").agg(*contribs)
+    per_bit = hashed.groupBy("id").agg(*contribs)
     sim = None
     for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window, functions as F
 
 from moonlink_spark.functions.hashing import HEX_CHARS
+from moonlink_spark.pipeline.util import fan_out
 
 
 def plane_weights(n_planes: int, dims: int) -> list[list[float]]:
@@ -75,7 +76,7 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = fan_out(df).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     joined = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
     scored = joined.select("query_id", "neighbor_id", cos.alias("cos"))
@@ -107,7 +108,7 @@ def lsh_buckets(
             F.lit(0).cast("long")
         )
         bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return fan_out(df).select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
 def embedding_near_dups(
@@ -174,7 +175,7 @@ def ivf_assign(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
         )
     )
-    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(cents)
+    scored = fan_out(df).select(F.col(id_col), F.col(vec_col)).crossJoin(cents)
     cos = F.round(
         _dot(F.col(vec_col), F.col("cemb")) / (_norm(F.col(vec_col)) * _norm(F.col("cemb"))),
         6,

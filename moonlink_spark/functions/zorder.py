@@ -99,10 +99,41 @@ def curve_key(
     raise ValueError(f"unknown curve {curve!r}")
 
 
+def _spread_stages(ndims: int, bits: int) -> list[tuple[int, int]]:
+    """(mask, shift) stages that move bit b of a < 2^bits value to bit
+    b*ndims, in O(log bits) masked shifts (the generalized Morton
+    "magic bits" spread, derived for any stride instead of hard-coded
+    2D/3D mask tables).
+
+    Stage j (processed high→low) moves every bit whose source index has
+    bit j set left by 2^j*(ndims-1); before stage j, source bit i sits at
+    (i & ~M)*ndims + (i & M) with M = 2^(j+1)-1, which gives the mask of
+    current positions to move."""
+    stages: list[tuple[int, int]] = []
+    if ndims <= 1:
+        return stages
+    nstages = max(1, (bits - 1).bit_length())
+    for j in range(nstages - 1, -1, -1):
+        m_low = (1 << (j + 1)) - 1
+        mask = 0
+        for i in range(bits):
+            if i & (1 << j):
+                mask |= 1 << ((i & ~m_low) * ndims + (i & m_low))
+        if mask:
+            stages.append((mask, (1 << j) * (ndims - 1)))
+    return stages
+
+
 def zorder_key_column(cols, bounds: list[tuple[float, float]], bits: int = DEFAULT_BITS):
     """The Z-order key as a NATIVE Spark Column — bit-for-bit identical to
     ``curve_key(..., curve="zorder")`` but whole-stage-codegen'd JVM-side, so
     the clustering hot path never round-trips rows through Python workers.
+
+    The interleave is O(log bits) masked shifts per dimension (staged
+    Morton spread) rather than one term per (bit, dim): for 3×16 bits that
+    is ~15 integer ops instead of a 48-term nested chain, which cuts the
+    expression-tree build, the per-plan Janino codegen (clustering plans
+    embed fresh literals, so every run recompiles), and the per-row cost.
 
     Exactness: ``F.bround`` is HALF_EVEN like ``np.rint``; both paths do the
     same float64 arithmetic, so quantized cells (and therefore keys) match.
@@ -133,10 +164,13 @@ def zorder_key_column(cols, bounds: list[tuple[float, float]], bits: int = DEFAU
             * F.lit(maxv)
         )
         qs.append(F.coalesce(F.bround(scaled, 0), F.lit(0.0)).cast("long"))
-    key = F.lit(0).cast("long")
-    for b in range(bits):
-        for d, q in enumerate(qs):
-            key = key + F.shiftleft(
-                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ndims + d
-            )
-    return key
+    stages = _spread_stages(ndims, bits)
+    key = None
+    for d, q in enumerate(qs):
+        x = q
+        for mask, shift in stages:
+            moved = F.shiftleft(x.bitwiseAND(F.lit(mask)), shift)
+            x = x.bitwiseAND(F.lit(~mask)).bitwiseOR(moved)
+        placed = F.shiftleft(x, d) if d else x
+        key = placed if key is None else key.bitwiseOR(placed)
+    return key if key is not None else F.lit(0).cast("long")

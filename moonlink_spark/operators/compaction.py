@@ -15,12 +15,13 @@ Re-creates moonlink's compaction job family (SURVEY.md §2 rows 18-20):
   carry-over of iceberg_table_syncer.rs:315-350 without the remap, because
   victims' deletes die with the victims).
 
-Spark-first scale design: compaction is SHUFFLE-FREE. The planner greedily
-packs victim files into ~target-size groups; each group is an independent
-column-complete scan→filter→write job (like Iceberg's RewriteDataFiles file
-groups), submitted concurrently from driver threads under FAIR scheduling.
-On a 1000-executor cluster each group is one task wave; no data crosses the
-network except victim bytes read + compacted bytes written.
+Spark-first scale design: compaction is ONE job with ONE exchange. The
+planner greedily packs victim files into ~target-size groups (like
+Iceberg's RewriteDataFiles file groups); execution scans every victim once,
+routes each row to its group's output bin via a broadcast (path → bin)
+relation, and writes all bins in a single shuffle-then-write pass. Victim
+bytes cross the network exactly once; group count scales to 10^5 without
+per-group driver job submissions.
 
 Every group writes a per-partition lineage record (files-in/out, rows,
 bytes); a killed run resumes by skipping groups whose lineage exists.
@@ -31,7 +32,6 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
@@ -151,7 +151,10 @@ def compact(
 ) -> int | None:
     """Run compaction; returns the new snapshot id, or None if nothing to do.
     With *lock_wait_seconds* > 0, waits for a concurrent merge/cluster to
-    release the maintenance lock instead of raising MaintenanceInProgress."""
+    release the maintenance lock instead of raising MaintenanceInProgress.
+    *max_concurrent_groups* is retained for API compatibility; execution is
+    a single job (all groups share one exchange), so it no longer gates
+    anything."""
     config = config or CompactionConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
     with table.maintenance_lock("compact", run_id, wait_seconds=lock_wait_seconds):
@@ -187,8 +190,19 @@ def _compact_locked(
     # name + lineage record name)
     _SPLIT_STRIDE = 4096
 
-    def _compact_group(gi_group) -> list[DataFile]:
-        gi, group = gi_group
+    # ONE job for every group: each victim file maps to its group's bin
+    # range via a broadcast (file path -> base bin, split count) relation,
+    # so the whole compaction is a single scan -> one exchange on _bin ->
+    # one write pass. The per-group-job scheme this replaces paid a driver-
+    # submitted Spark job, a separate deletion-vector expansion/broadcast,
+    # and its own exchange PER GROUP for the same shuffled bytes; one job
+    # moves identical bytes through one exchange and scales to 10^5 groups
+    # without 10^5 job submissions. Bin values, hash-split sub-bin contents,
+    # output names and lineage records are byte-identical to the per-group
+    # scheme (same base/nb arithmetic, same xxhash64(_fp,_pos) split).
+    resumed: list[DataFile] = []
+    read_groups: list[tuple[int, list[str], int]] = []  # (base, paths, nb)
+    for gi, group in enumerate(plan.groups):
         base = gi * _SPLIT_STRIDE
         # a group bigger than target (one OVERSIZED victim — bin-packing
         # never packs past target otherwise) is SPLIT across nb parallel
@@ -205,65 +219,84 @@ def _compact_locked(
                 with open(lp) as f:
                     rec = json.load(f)
                 if os.path.exists(rec["file_path"]):
-                    return [
+                    resumed.append(
                         DataFile(
                             file_path=rec["file_path"],
                             record_count=int(rec["record_count"]),
                             file_size_bytes=int(rec["file_size_bytes"]),
                             stats=json.loads(rec["stats"]),
                         )
-                    ]
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"compact-{gi % 4}")
-        df = spark.read.schema(schema).parquet(*group)
-        need_pos = deletes_df is not None or nb > 1
-        if need_pos:
-            df = df.select(
-                "*",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
-                F.col("_metadata.row_index").alias("_pos"),
-            )
+                    )
+                    continue
+        read_groups.append((base, group, nb))
+
+    _t0 = _time.time()
+    new_files: list[DataFile] = list(resumed)
+    total_bins = sum(nb for _, _, nb in read_groups)
+    if read_groups:
+        df = spark.read.schema(schema).parquet(
+            *[p for _, group, _ in read_groups for p in group]
+        )
+        df = df.select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
         if deletes_df is not None:
-            d = deletes_df.filter(F.col("file_path").isin(list(group)))
             df = df.join(
-                d,
-                (df["_fp"] == d["file_path"]) & (df["_pos"] == d["pos"]),
+                deletes_df,
+                (df["_fp"] == deletes_df["file_path"]) & (df["_pos"] == deletes_df["pos"]),
                 "left_anti",
             )
-        if nb > 1:
-            # deterministic hash split on (file, position): same inputs ->
-            # same sub-bin contents on every retry (lineage-safe)
-            binned = df.withColumn(
-                "_bin", F.lit(base) + F.pmod(F.xxhash64("_fp", "_pos"), F.lit(nb))
-            )
-        else:
-            binned = df.withColumn("_bin", F.lit(base))
-        if need_pos:
-            binned = binned.drop("_fp", "_pos")
-        return write_datafiles(
-            binned,
-            data_dir=table.catalog.data_dir,
-            run_id=run_id,
-            num_bins=nb,
-            compression="zstd",
-            compression_level=4,
-            lineage_dir=lineage_dir,
+        bin_map = spark.createDataFrame(
+            [(p, base, nb) for base, group, nb in read_groups for p in group],
+            "_fp string, _base int, _nb int",
         )
-
-    new_files: list[DataFile] = []
-    group_outputs: list[list[DataFile]] = []
-    _t0 = _time.time()
-    with ThreadPoolExecutor(max_workers=max_concurrent_groups) as pool:
-        for files in pool.map(_compact_group, enumerate(plan.groups)):
-            group_outputs.append(files)
-            new_files.extend(files)
+        df = df.join(F.broadcast(bin_map), "_fp", "left")
+        # deterministic hash split on (file, position) for oversized groups:
+        # same inputs -> same sub-bin contents on every retry (lineage-safe).
+        # A null _base would mean a scan path that matched no plan group —
+        # fail loud instead of silently dropping the row (inner join) or
+        # mis-binning it.
+        binned = df.withColumn(
+            "_bin",
+            F.when(
+                F.col("_base").isNull(),
+                F.raise_error(
+                    F.lit("compact: scanned file not in plan (path drift)")
+                ).cast("int"),
+            )
+            .when(
+                F.col("_nb") > 1,
+                F.col("_base") + F.pmod(F.xxhash64("_fp", "_pos"), F.col("_nb")),
+            )
+            .otherwise(F.col("_base")),
+        )
+        new_files.extend(
+            write_datafiles(
+                binned,
+                data_dir=table.catalog.data_dir,
+                run_id=run_id,
+                num_bins=total_bins,
+                compression="zstd",
+                compression_level=4,
+                lineage_dir=lineage_dir,
+            )
+        )
     stage_t["rewrite_sec"] = round(_time.time() - _t0, 3)
 
     # per-partition lineage metrics (north rule: files-in/files-out, bytes,
-    # row counts per partition so a killed run resumes + is auditable)
+    # row counts per partition so a killed run resumes + is auditable);
+    # outputs map back to their group through the bin id in the file name
     by_path = {norm_path(f.file_path): f for f in table.data_files()}
+    outs_by_group: dict[int, list[DataFile]] = {}
+    for f in new_files:
+        b = int(os.path.basename(f.file_path).rsplit("-b", 1)[1].split(".")[0])
+        outs_by_group.setdefault(b // _SPLIT_STRIDE, []).append(f)
     metrics = []
-    for gi, (group, outs) in enumerate(zip(plan.groups, group_outputs)):
+    for gi, group in enumerate(plan.groups):
         ins = [by_path[p] for p in group if p in by_path]
+        outs = outs_by_group.get(gi, [])
         metrics.append({
             "bin": gi,
             "files_in": group,
@@ -276,11 +309,16 @@ def _compact_locked(
     with open(os.path.join(lineage_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f)
 
-    # rewrite the surviving delete set: victims' deletes die with the victims
+    # rewrite the surviving delete set: victims' deletes die with the victims.
+    # When every data file is a victim (force_full) no survivor can carry a
+    # delete — skip the count/rewrite job outright (deletes can only target
+    # data files, and concurrent lock-free appends are DV-free by
+    # construction: only the lock-holding merge writes DVs).
     _t0 = _time.time()
     new_delete_entries: list = []
     n_surviving_deletes = 0
-    if delete_files:
+    all_victims = {norm_path(f.file_path) for f in table.data_files()} <= victim_set
+    if delete_files and not all_victims:
         surviving = exclude_file_paths(deletes_df, victim_set)
         n_surviving_deletes = surviving.count()
         if n_surviving_deletes > 0:

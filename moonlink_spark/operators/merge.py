@@ -84,6 +84,22 @@ def _overlapping_foreign_appends(
     return out
 
 
+def _per_file_positions(delete_files: list) -> dict[str, int]:
+    """Per-target-file deleted-position counts, read back from freshly
+    written bitmap delete files (one row per target file; the files are
+    ≤16 KB bitmaps, so a driver-side columnar read of just
+    (file_path, n_positions) is metadata-cardinality work)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for d in delete_files:
+        t = pq.read_table(d.file_path, columns=["file_path", "n_positions"])
+        for p, n in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+            p = norm_path(p)
+            out[p] = out.get(p, 0) + int(n)
+    return out
+
+
 def last_writer_wins(changes: DataFrame, key: str) -> DataFrame:
     """Collapse a change batch to one final row per key: highest lsn wins;
     on an lsn tie the non-delete row wins (moonlink's update decomposition
@@ -217,62 +233,60 @@ def _merge_locked(
             probe_files = table.plan_files({key: (head["klo"], head["khi"])})
         else:
             probe_files = all_files
-        target_pos = table.scan(
-            with_position=True, columns=[key, "_fp", "_pos"], files=probe_files
-        )
-        matched = target_pos.join(keys_df, key, "left_semi").select(
-            F.col("_fp").alias("file_path"), F.col("_pos").alias("pos")
-        )
-        matched.cache()
-        try:
-            per_file_deletes = {
-                norm_path(r["file_path"]): r["cnt"]
-                for r in matched.groupBy("file_path").agg(F.count("*").alias("cnt")).collect()
-            }
-            n_matched = int(sum(per_file_deletes.values()))
-            stage_t["probe_sec"] = round(_time.time() - _t0, 3)
-            _t0 = _time.time()
+        new_delete_files: list = []
+        per_file_deletes: dict[str, int] = {}
+        if probe_files:
+            target_pos = table.scan(
+                with_position=True, columns=[key, "_fp", "_pos"], files=probe_files
+            )
+            matched = target_pos.join(keys_df, key, "left_semi").select(
+                F.col("_fp").alias("file_path"), F.col("_pos").alias("pos")
+            )
+            # ONE job resolves positions AND writes the bitmap DVs; the
+            # per-file counts the commit needs come back from the written
+            # bitmap rows (one (file_path, n_positions) row per target
+            # file, read driver-side from the tiny at-rest files) — the
+            # old separate groupBy+collect count job and the cache of the
+            # probe output are gone. Bins are sized from the batch row
+            # count (an upper bound on matches; identical below 4M rows).
+            new_delete_files = table.write_position_deletes(
+                matched, run_id=run_id, num_bins=table.dv_rewrite_bins(n_final)
+            )
+            per_file_deletes = _per_file_positions(new_delete_files)
+        n_matched = int(sum(per_file_deletes.values()))
+        stage_t["probe_delete_sec"] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
 
-            new_delete_files = []
-            if n_matched > 0:
-                new_delete_files = table.write_position_deletes(
-                    matched, run_id=run_id, num_bins=table.dv_rewrite_bins(n_matched)
-                )
-            stage_t["delete_write_sec"] = round(_time.time() - _t0, 3)
-            _t0 = _time.time()
+        # --- inserts: final rows that are not deletes ---------------------
+        inserts = final.filter(F.col("op") != "D").select(*cols)
+        n_inserts = n_final - int(head["nd"] or 0)
+        new_data_files = []
+        if n_inserts > 0:
+            # bin by BYTES, not rows: wide binary payloads would turn a
+            # row-count bin into one multi-GB serial write task. Average
+            # row size comes from the target table's own manifests
+            # (free metadata); fresh files target 128 MiB snappy
+            # (mooncake_table_config.rs:24).
+            from moonlink_spark.catalog.metadata import FRESH_TARGET_BYTES
 
-            # --- inserts: final rows that are not deletes ---------------------
-            inserts = final.filter(F.col("op") != "D").select(*cols)
-            n_inserts = n_final - int(head["nd"] or 0)
-            new_data_files = []
-            if n_inserts > 0:
-                # bin by BYTES, not rows: wide binary payloads would turn a
-                # row-count bin into one multi-GB serial write task. Average
-                # row size comes from the target table's own manifests
-                # (free metadata); fresh files target 128 MiB snappy
-                # (mooncake_table_config.rs:24).
-                from moonlink_spark.catalog.metadata import FRESH_TARGET_BYTES
-
-                existing_files = table.data_files()
-                tot_rows = sum(f.record_count for f in existing_files)
-                tot_bytes = sum(f.file_size_bytes for f in existing_files)
-                if tot_rows > 0:
-                    est_bytes = n_inserts * (tot_bytes / tot_rows)
-                    nb = max(1, -(-int(est_bytes) // FRESH_TARGET_BYTES))
-                else:
-                    nb = max(1, -(-n_inserts // rows_per_file))
-                binned = inserts.withColumn("_bin", hash_bin(key, nb))
-                new_data_files = write_datafiles(
-                    binned,
-                    data_dir=table.catalog.data_dir,
-                    run_id=run_id,
-                    num_bins=nb,
-                    compression="snappy",
-                    lineage_dir=ins_lineage,
-                )
-            stage_t["insert_write_sec"] = round(_time.time() - _t0, 3)
-        finally:
-            matched.unpersist()
+            existing_files = table.data_files()
+            tot_rows = sum(f.record_count for f in existing_files)
+            tot_bytes = sum(f.file_size_bytes for f in existing_files)
+            if tot_rows > 0:
+                est_bytes = n_inserts * (tot_bytes / tot_rows)
+                nb = max(1, -(-int(est_bytes) // FRESH_TARGET_BYTES))
+            else:
+                nb = max(1, -(-n_inserts // rows_per_file))
+            binned = inserts.withColumn("_bin", hash_bin(key, nb))
+            new_data_files = write_datafiles(
+                binned,
+                data_dir=table.catalog.data_dir,
+                run_id=run_id,
+                num_bins=nb,
+                compression="snappy",
+                lineage_dir=ins_lineage,
+            )
+        stage_t["insert_write_sec"] = round(_time.time() - _t0, 3)
     finally:
         final.unpersist()
     _t0 = _time.time()

@@ -66,7 +66,7 @@ def test_stage_metrics_rollup(spark, tmp_path):
     runs = collect_stage_metrics(t)
     assert {r["op"] for r in runs} >= {"merge", "compact", "cluster"}
     roll = rollup_stage_metrics(t)
-    assert roll["merge"]["probe_sec"]["n"] == 2
+    assert roll["merge"]["probe_delete_sec"]["n"] == 2
     for op, stages in roll.items():
         for stage, s in stages.items():
             assert s["p50"] <= s["p95"] <= s["max"], (op, stage, s)

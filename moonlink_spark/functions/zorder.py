@@ -124,6 +124,75 @@ def _spread_stages(ndims: int, bits: int) -> list[tuple[int, int]]:
     return stages
 
 
+def _quantize_column(c, lo: float, hi: float, bits: int):
+    """Quantized cell index of *c* as a long Column (HALF_EVEN bround,
+    NaN→0 — exactly normalize_to_bits)."""
+    from pyspark.sql import Column, functions as F
+
+    c = c if isinstance(c, Column) else F.col(c)
+    span = float(hi) - float(lo)
+    if span <= 0:
+        return F.lit(0).cast("long")
+    maxv = float((1 << bits) - 1)
+    cd = c.cast("double")
+    cd = F.when(F.isnan(cd), F.lit(None).cast("double")).otherwise(cd)
+    scaled = (
+        F.least(
+            F.greatest((cd - F.lit(float(lo))) / F.lit(span), F.lit(0.0)),
+            F.lit(1.0),
+        )
+        * F.lit(maxv)
+    )
+    return F.coalesce(F.bround(scaled, 0), F.lit(0.0)).cast("long")
+
+
+def with_zorder_key(
+    df,
+    by: list[str],
+    bounds: list[tuple[float, float]],
+    bits: int = DEFAULT_BITS,
+    out: str = "_zkey",
+):
+    """Attach the Z-order key of *by* to *df* as column *out* — the hot-path
+    form of ``zorder_key_column``.
+
+    Each spread stage lands in its OWN projection level (withColumns):
+    every stage references its input twice, so composing them as one
+    Column would copy the whole subtree at each reference (2^stages
+    textual blowup — the Catalyst optimizer's CollapseProject specifically
+    refuses to inline non-cheap aliases referenced more than once, which
+    is exactly the guarantee keeping these levels separate). Result: an
+    O(log bits)-deep plan whose analysis, codegen and per-row cost all
+    stay proportional to the written expression, with keys bit-identical
+    to ``curve_key(..., "zorder")``."""
+    from pyspark.sql import functions as F
+
+    ndims = len(by)
+    qnames = [f"_zq{d}" for d in range(ndims)]
+    df = df.withColumns(
+        {
+            qn: _quantize_column(F.col(c), lo, hi, bits)
+            for qn, c, (lo, hi) in zip(qnames, by, bounds)
+        }
+    )
+    for mask, shift in _spread_stages(ndims, bits):
+        df = df.withColumns(
+            {
+                qn: F.col(qn)
+                .bitwiseAND(F.lit(~mask))
+                .bitwiseOR(F.shiftleft(F.col(qn).bitwiseAND(F.lit(mask)), shift))
+                for qn in qnames
+            }
+        )
+    key = None
+    for d, qn in enumerate(qnames):
+        placed = F.shiftleft(F.col(qn), d) if d else F.col(qn)
+        key = placed if key is None else key.bitwiseOR(placed)
+    if key is None:
+        key = F.lit(0).cast("long")
+    return df.withColumn(out, key).drop(*qnames)
+
+
 def zorder_key_column(cols, bounds: list[tuple[float, float]], bits: int = DEFAULT_BITS):
     """The Z-order key as a NATIVE Spark Column — bit-for-bit identical to
     ``curve_key(..., curve="zorder")`` but whole-stage-codegen'd JVM-side, so
@@ -140,30 +209,14 @@ def zorder_key_column(cols, bounds: list[tuple[float, float]], bits: int = DEFAU
     Hilbert has no SQL form (iterative state transform) and stays on the
     vectorized-numpy pandas UDF.
     """
-    from pyspark.sql import Column, functions as F
+    from pyspark.sql import functions as F
 
     ndims = len(cols)
-    maxv = float((1 << bits) - 1)
-    qs: list[Column] = []
-    for c, (lo, hi) in zip(cols, bounds):
-        c = c if isinstance(c, Column) else F.col(c)
-        span = float(hi) - float(lo)
-        if span <= 0:
-            qs.append(F.lit(0).cast("long"))
-            continue
-        # NaN -> null -> quantized 0, matching normalize_to_bits (numpy maps
-        # NaN to cell 0); without this, Spark's greatest/least order NaN as
-        # LARGEST and a NaN input would quantize to maxv — divergent keys
-        cd = c.cast("double")
-        cd = F.when(F.isnan(cd), F.lit(None).cast("double")).otherwise(cd)
-        scaled = (
-            F.least(
-                F.greatest((cd - F.lit(float(lo))) / F.lit(span), F.lit(0.0)),
-                F.lit(1.0),
-            )
-            * F.lit(maxv)
-        )
-        qs.append(F.coalesce(F.bround(scaled, 0), F.lit(0.0)).cast("long"))
+    # NaN handling inside _quantize_column: NaN -> null -> quantized 0,
+    # matching normalize_to_bits (numpy maps NaN to cell 0); without this,
+    # Spark's greatest/least order NaN as LARGEST and a NaN input would
+    # quantize to maxv — divergent keys
+    qs = [_quantize_column(c, lo, hi, bits) for c, (lo, hi) in zip(cols, bounds)]
     stages = _spread_stages(ndims, bits)
     key = None
     for d, q in enumerate(qs):

@@ -403,10 +403,9 @@ def assign_keys_and_bins(df, plan: ClusterPlan, key_col: str, bits: int = DEFAUL
         return joined.withColumn("_bin", bin_col).drop("_off", "_saltn", *derived)
 
     if curve_name == "zorder":
-        from moonlink_spark.functions.zorder import zorder_key_column
+        from moonlink_spark.functions.zorder import with_zorder_key
 
-        zk = zorder_key_column([F.col(c) for c in by_cols], bounds, bits=nbits)
-        df = df.withColumn("_zkey", zk)
+        df = with_zorder_key(df, by_cols, bounds, bits=nbits, out="_zkey")
         if len(boundaries) <= _NATIVE_BOUNDARY_MAX:
             if len(boundaries):
                 barr = F.array(*[F.lit(int(b)).cast("long") for b in boundaries])

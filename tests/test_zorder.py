@@ -133,3 +133,32 @@ def test_sql_zorder_nan_parity(spark):
     y = np.array([float(i * 7 % 100) for i in range(300)])
     want = curve_key([x, y], bounds, curve="zorder", bits=16)
     assert all(got[i] == want[i] for i in range(300))
+
+
+def test_with_zorder_key_matches_numpy(spark):
+    """The projection-staged hot-path form (with_zorder_key) must be
+    bit-exact vs the numpy kernel — incl. NaN — and vs zorder_key_column,
+    for 2 and 3 dims."""
+    import pandas as pd
+
+    from moonlink_spark.functions.zorder import with_zorder_key
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    n = 10000
+    x = rng.uniform(-5.0, 70005.0, n)
+    y = rng.integers(0, 100, n).astype("float64")
+    z = rng.integers(0, 7, n).astype("float64")
+    x[::97] = np.nan
+    for dims in (2, 3):
+        arrays = [x, y, z][:dims]
+        names = ["x", "y", "z"][:dims]
+        bounds = [(0.0, 65535.0), (0.0, 99.0), (0.0, 6.0)][:dims]
+        pdf = pd.DataFrame({"i": np.arange(n), **dict(zip(names, arrays))})
+        out = with_zorder_key(spark.createDataFrame(pdf), names, bounds, bits=16)
+        got_rows = out.select("i", "_zkey").collect()
+        got = np.empty(n, dtype=np.int64)
+        for r in got_rows:
+            got[r["i"]] = r["_zkey"]
+        want = curve_key(arrays, bounds, curve="zorder", bits=16)
+        assert np.array_equal(got, want), dims
+        assert "_zq0" not in out.columns

@@ -31,6 +31,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _BROADCAST_DELETE_ROWS = 2_000_000
 
 
+def _canon_partition(spec_id: int, part: dict) -> str:
+    """Canonical string for a manifest entry's (spec, partition tuple) —
+    used to scope equality deletes to their own partition. Both sides come
+    through the same Avro decode, so repr-based canonicalization is
+    deterministic across entries."""
+    import json as _json
+
+    return f"{spec_id}|" + _json.dumps(part, sort_keys=True, default=repr)
+
+
 def read_avro_via_jvm(spark: SparkSession, path: str) -> list:
     """Decode an Avro container file with the Java reference implementation
     (org.apache.avro on Spark's classpath); returns GenericRecord handles."""
@@ -459,6 +469,17 @@ def read_iceberg_scan(
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
     spec_sources = identity_partition_sources(meta)
     spec_pruners = partition_pruner_fields(meta)
+    if partition_filter:
+        # validate filter keys BEFORE any manifest walk: a typo'd column
+        # must raise even when summary-skipping or pruning would otherwise
+        # return an empty result silently
+        known = {f["source"] for fs in spec_pruners.values() for f in fs}
+        unknown = sorted(set(partition_filter) - known)
+        if unknown:
+            raise ValueError(
+                f"partition_filter references non-partition column(s) "
+                f"{unknown}; partition source columns are {sorted(known)}"
+            )
 
     data_paths: list[str] = []
     first_ids: dict[str, int | None] = {}
@@ -468,6 +489,7 @@ def read_iceberg_scan(
     # path → (lower_bounds, upper_bounds) as {field-id: Appendix-D bytes}
     file_bounds: dict[str, tuple] = {}
     file_seqs: dict[str, int] = {}  # path → data sequence number
+    file_pkeys: dict[str, str] = {}  # path → canonical (spec, partition) key
     delete_paths: list[str] = []
     puffin_entries: list[dict] = []
     eq_entries: list[dict] = []
@@ -553,6 +575,9 @@ def read_iceberg_scan(
                     e.get("upper_bounds"),
                 )
                 part = e.get("partition") or {}
+                file_pkeys[e["file_path"]] = _canon_partition(
+                    m.get("partition_spec_id", 0), part
+                )
                 file_parts[e["file_path"]] = {
                     src_by_pfield[name]: v
                     for name, v in part.items()
@@ -564,7 +589,9 @@ def read_iceberg_scan(
                     if pf["name"] in part
                 ]
             elif e["content"] == 2:
-                eq_entries.append({**e, "_seq": seq})
+                eq_entries.append(
+                    {**e, "_seq": seq, "_spec_id": m.get("partition_spec_id", 0)}
+                )
                 n_delete_rows += e["record_count"]
             elif e.get("file_format") == "PUFFIN":
                 puffin_entries.append(e)
@@ -592,9 +619,14 @@ def read_iceberg_scan(
                 ]
             ),
         )
-        return empty.select(
+        empty = empty.select(
             *(columns or [f["name"] for f in snap_schema0["fields"]])
         )
+        if with_row_ids:
+            # the non-empty path appends _row_id after the column
+            # projection; the empty path must match that shape
+            empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
+        return empty
 
     if not data_paths:
         if n_skipped_manifests:
@@ -605,13 +637,6 @@ def read_iceberg_scan(
     if partition_filter:
         from moonlink_spark.iceberg.transforms import apply_transform
 
-        known = {f["source"] for fs in spec_pruners.values() for f in fs}
-        unknown = sorted(set(partition_filter) - known)
-        if unknown:
-            raise ValueError(
-                f"partition_filter references non-partition column(s) "
-                f"{unknown}; partition source columns are {sorted(known)}"
-            )
         # metadata-only pruning: a file is kept unless its manifest entry
         # carries a CONFLICTING value under some partition field on the
         # filtered source column — the filter value is run through the
@@ -793,7 +818,31 @@ def read_iceberg_scan(
     )
     if fill_cols:
         type_by_name = {f.name: f.dataType for f in read_schema.fields}
+        ice_type_by_name = {
+            f["name"]: f["type"]
+            for f in snap_schema["fields"]
+            if isinstance(f["type"], str)
+        }
         import pyspark.sql.types as T2
+
+        def _part_py_value(c: str, v):
+            # manifest partition values for temporal identity fields are
+            # the spec's raw ints (days / micros since epoch) but the
+            # Spark column type is DateType/TimestampType — convert, or
+            # createDataFrame raises TypeError for any identity
+            # date/timestamp-partitioned table
+            if v is None or not isinstance(v, int):
+                return v
+            ty = ice_type_by_name.get(c, "")
+            if ty == "date":
+                from datetime import date, timedelta
+
+                return date(1970, 1, 1) + timedelta(days=v)
+            if ty.startswith("timestamp"):
+                from datetime import datetime, timedelta
+
+                return datetime(1970, 1, 1) + timedelta(microseconds=v)
+            return v
 
         part_schema = T2.StructType(
             [T2.StructField("_fp", T2.StringType(), False)]
@@ -806,7 +855,11 @@ def read_iceberg_scan(
             spark.createDataFrame(
                 [
                     tuple(
-                        [p] + [file_parts.get(p, {}).get(c) for c in fill_cols]
+                        [p]
+                        + [
+                            _part_py_value(c, file_parts.get(p, {}).get(c))
+                            for c in fill_cols
+                        ]
                     )
                     for p in data_paths
                 ],
@@ -846,19 +899,32 @@ def read_iceberg_scan(
             dels = dels.hint("shuffle_hash")
         with_pos = with_pos.join(dels, ["_fp", "_pos"], "left_anti")
     if eq_groups:
-        # data sequence number per file (broadcast file-cardinality map);
-        # the spec's "delete applies to strictly-older data files" rule
+        # data sequence number + canonical partition key per file
+        # (broadcast file-cardinality map); the spec's "delete applies to
+        # strictly-older data files" rule, and its partition scoping:
+        # equality deletes written under a partitioned spec apply only to
+        # data files with the SAME partition tuple — global apply would
+        # silently over-delete matching rows in other partitions whenever
+        # the equality ids don't cover the partition source
         seq_map = F.broadcast(
             spark.createDataFrame(
-                [(p, int(file_seqs[p])) for p in data_paths],
-                "_fp string, _dseq long",
+                [(p, int(file_seqs[p]), file_pkeys.get(p, "")) for p in data_paths],
+                "_fp string, _dseq long, _pkey string",
             )
         )
         with_pos = with_pos.join(seq_map, "_fp")
         for key_cols, entries in eq_groups.items():
             del_seq_df = spark.createDataFrame(
-                [(e["file_path"], int(e["_seq"])) for e in entries],
-                "_delfp string, _xseq long",
+                [
+                    (
+                        e["file_path"],
+                        int(e["_seq"]),
+                        _canon_partition(e["_spec_id"], e.get("partition") or {}),
+                        not (e.get("partition") or {}),
+                    )
+                    for e in entries
+                ],
+                "_delfp string, _xseq long, _delpkey string, _pglobal boolean",
             )
             dels = (
                 spark.read.parquet(*[e["file_path"] for e in entries])
@@ -869,13 +935,18 @@ def read_iceberg_scan(
                     ).alias("_delfp"),
                 )
                 .join(F.broadcast(del_seq_df), "_delfp")
-                .select(*[f"_k_{c}" for c in key_cols], "_xseq")
+                .select(
+                    *[f"_k_{c}" for c in key_cols], "_xseq", "_delpkey", "_pglobal"
+                )
                 .distinct()
             )
             if sum(e["record_count"] for e in entries) <= _BROADCAST_DELETE_ROWS:
                 dels = F.broadcast(dels)
             cond = [with_pos[c].eqNullSafe(dels[f"_k_{c}"]) for c in key_cols]
             cond.append(dels["_xseq"] > with_pos["_dseq"])
+            # partition scoping: unpartitioned-spec deletes are global;
+            # partitioned-spec deletes require an identical partition tuple
+            cond.append(dels["_pglobal"] | (dels["_delpkey"] == with_pos["_pkey"]))
             pred = cond[0]
             for c in cond[1:]:
                 pred = pred & c
@@ -883,7 +954,7 @@ def read_iceberg_scan(
             # the table shuffles once per distinct equality-id set, the
             # delete side broadcasts below the gate
             with_pos = with_pos.join(dels, pred, "left_anti")
-        with_pos = with_pos.drop("_dseq")
+        with_pos = with_pos.drop("_dseq", "_pkey")
     if not with_row_ids:
         return with_pos.select(*cols)
     # file-cardinality metadata: broadcast the (file → first_row_id) map and

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import re
 import struct
-from datetime import date, datetime, timedelta
+from datetime import date, datetime, timedelta, timezone
 
 import pandas as pd
 
@@ -90,7 +90,12 @@ def _to_micros(value) -> int:
     if isinstance(value, str):
         value = datetime.fromisoformat(value)
     if isinstance(value, datetime):
-        td = value.replace(tzinfo=None) - _EPOCH_DT
+        if value.tzinfo is not None:
+            # convert aware datetimes to UTC before dropping tzinfo — a
+            # bare replace() would transform WALL-CLOCK micros and prune
+            # the wrong files for any non-UTC filter value
+            value = value.astimezone(timezone.utc).replace(tzinfo=None)
+        td = value - _EPOCH_DT
         return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
     return int(value)
 
@@ -100,6 +105,8 @@ def _to_days(value) -> int:
     if isinstance(value, str):
         value = date.fromisoformat(value[:10])
     if isinstance(value, datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(timezone.utc).replace(tzinfo=None)
         return (value.date() - _EPOCH_D).days
     if isinstance(value, date):
         return (value - _EPOCH_D).days

@@ -255,6 +255,19 @@ def _scalar_decoder(dt: T.DataType) -> Decoder:
     raise TypeError(f"unsupported proto CDC type {dt.simpleString()}")
 
 
+def _proto3_default(dt: T.DataType):
+    """proto3 scalar default for a field omitted from the wire."""
+    if isinstance(dt, T.StringType):
+        return ""
+    if isinstance(dt, T.BinaryType):
+        return b""
+    if isinstance(dt, T.BooleanType):
+        return False
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return 0.0
+    return 0
+
+
 def _decode_message(buf: bytes, pos: int, end: int, layout: list[tuple],
                     strict: bool) -> dict:
     by_num = {num: (name, dt) for name, num, dt in layout}
@@ -298,7 +311,14 @@ def _decode_message(buf: bytes, pos: int, end: int, layout: list[tuple],
             entry = _decode_message(buf, pos, pos + ln, entry_layout, strict)
             pos += ln
             d = out[name] or {}
-            d[entry["key"]] = entry["value"]
+            # proto3: a conformant encoder omits default-valued entry
+            # fields, and the decoder must substitute the type's default
+            # ('' / 0 / false), not None
+            k = entry["key"]
+            v = entry["value"]
+            d[_proto3_default(dt.keyType) if k is None else k] = (
+                _proto3_default(dt.valueType) if v is None else v
+            )
             out[name] = d
             continue
         expect = _wire_type(dt)

@@ -42,6 +42,14 @@ def sql_hex_int(expr: str, chars: int = HEX_CHARS) -> str:
     return f"(('0x' || substr(md5({expr}), 1, {chars}))::BIGINT)"
 
 
+def spark_sql_hex_int(expr: str, chars: int = HEX_CHARS) -> str:
+    """Shared 60-bit hash of a string expression, as a Spark SQL string —
+    the F.expr twin of hex_int, for call sites that build MANY hash
+    expressions (one server-side parse each instead of ~10 py4j
+    round-trips per expression)."""
+    return f"cast(conv(substring(md5({expr}), 1, {chars}), 16, 10) as bigint)"
+
+
 def perm_coeff(kind: str, i: int, mod: int) -> int:
     """Deterministic permutation coefficient for MinHash: derived from the
     shared hash itself (no RNG, no wall clock) so Spark, DuckDB, and tests

@@ -117,13 +117,16 @@ def _minhash_wide(
     shuffle. h' = shared_hash(shingle) mod P; perm_i = (a_i·h' + b_i) mod P,
     P = 2^31−1 so every intermediate fits int64 exactly in both engines."""
     hp = (hex_int(F.col("shingle")) % F.lit(MERSENNE_31)).alias("hp")
-    aggs = []
-    for i in range(num_perms):
-        a = perm_coeff("a", i, MERSENNE_31)
-        b = perm_coeff("b", i, MERSENNE_31)
-        aggs.append(
-            F.min((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{i}")
+    # K aggregates as server-parsed SQL strings: one F.expr round-trip per
+    # permutation instead of ~6 py4j Column calls each — DataFrame BUILD
+    # time (pure driver) dominated repeat invocations of these ops
+    aggs = [
+        F.expr(
+            f"min(({perm_coeff('a', i, MERSENNE_31)}L * hp "
+            f"+ {perm_coeff('b', i, MERSENNE_31)}L) % {MERSENNE_31}L) AS mh{i}"
         )
+        for i in range(num_perms)
+    ]
     return sh.select("id", hp).groupBy("id").agg(*aggs)
 
 
@@ -175,12 +178,18 @@ def minhash_lsh_pairs(
     wide = _minhash_wide(sh, num_perms).localCheckpoint(eager=True)
 
     # all B bucket ids in ONE pass over the wide row (explode, not a B-way
-    # union — a union would recompute the aggregation per band)
+    # union — a union would recompute the aggregation per band); each
+    # bucket id is one server-parsed SQL string (build-time, see
+    # _minhash_wide)
+    from moonlink_spark.functions.hashing import spark_sql_hex_int
+
     bucket_exprs = []
     for band in range(bands):
         cols = [f"mh{i}" for i in range(band * rows_per_band, (band + 1) * rows_per_band)]
-        sig = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-        bucket_exprs.append(hex_int(F.concat_ws("|", F.lit(str(band)), sig)))
+        sig = f"concat_ws(',', {', '.join(f'cast({c} as string)' for c in cols)})"
+        bucket_exprs.append(
+            F.expr(spark_sql_hex_int(f"concat_ws('|', '{band}', {sig})"))
+        )
     buckets = wide.select("id", F.explode(F.array(*bucket_exprs)).alias("bucket"))
 
     l = buckets.alias("l")
@@ -493,15 +502,17 @@ def simhash(
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = fan_out(df).select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
     hashed = tok.select("id", hex_int(F.col("token")).alias("_h"))
+    # per-bit aggregates and the fingerprint reassembly as server-parsed
+    # SQL strings: the bench builds this DataFrame fresh per invocation,
+    # and ~120 py4j Column constructions cost more driver time than the
+    # whole distributed execution (measured 1.2 s build vs 0.5 s exec)
     contribs = [
-        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(bits)
+        F.expr(f"sum(shiftright(_h, {b}) & 1) AS b{b}") for b in range(bits)
     ]
     per_bit = hashed.groupBy("id").agg(F.count("*").alias("_n"), *contribs)
-    sim = None
-    for b in range(bits):
-        term = F.when(
-            F.lit(2) * F.col(f"b{b}") - F.col("_n") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return per_bit.select(F.col("id"), sim.alias("simhash"))
+    sim_sql = " + ".join(
+        f"(CASE WHEN 2 * b{b} > _n THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return per_bit.select(F.col("id"), F.expr(sim_sql).alias("simhash"))

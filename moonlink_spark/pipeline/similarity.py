@@ -101,14 +101,27 @@ def lsh_buckets(
     fold — no shuffle at all for bucketing (map-only), and bit-identical to
     the SQL oracle's list_transform fold."""
     planes = plane_weights(n_planes, dims)
-    bucket = None
-    for p, wts in enumerate(planes):
-        lit = F.array(*[F.lit(w) for w in wts])
-        bit = F.when(_dot(F.col(vec_col), lit) >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # the whole bucket id as ONE server-parsed SQL expression: building
+    # n_planes × dims literal Columns through py4j cost more driver time
+    # than the distributed execution (same build-vs-exec trade as the
+    # dedup aggregates); the SQL folds are arithmetic-identical to the
+    # Column form (zip_with product, sequential double aggregate)
+    def _dot_sql(wts: list[float]) -> str:
+        arr = ", ".join(f"{w!r}D" for w in wts)
+        return (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> cast(x as double) * cast(y as double)), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bit if bucket is None else bucket + bit
-    return fan_out(df).select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+    bucket_sql = " + ".join(
+        f"(CASE WHEN {_dot_sql(wts)} >= 0 THEN CAST({1 << p} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for p, wts in enumerate(planes)
+    )
+    return fan_out(df).select(
+        F.col(id_col), F.col(vec_col), F.expr(bucket_sql).alias("bucket")
+    )
 
 
 def embedding_near_dups(

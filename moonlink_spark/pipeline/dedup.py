@@ -203,9 +203,12 @@ def minhash_lsh_pairs(
 
     # verification kernel: exact jaccard over the staged shingles, restricted
     # to candidate docs (semi-join) — shingles are NOT recomputed
+    # no .distinct() on the id list: left_semi neither multiplies nor
+    # cares about duplicate build-side rows, so the dedup shuffle was
+    # pure overhead
     cand_ids = candidates.select(F.col("doc_a").alias("id")).union(
         candidates.select(F.col("doc_b").alias("id"))
-    ).distinct()
+    )
     sub = sh.join(cand_ids, "id", "left_semi")
     verified = _jaccard_from_shingles(sub, threshold)
     return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")

@@ -18,6 +18,10 @@ def fan_out(df: DataFrame) -> DataFrame:
     splits than cores and this is a no-op, so no extra shuffle is added to
     a 100 TB job.
     """
+    if df.isStreaming:
+        # a streaming frame has no .rdd and its micro-batch partitioning
+        # is the source's concern — pass through untouched
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
